@@ -1,44 +1,350 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the DRIVER before this module is imported — no
+``ray.init`` / ``ray.shutdown`` anywhere below (see repo rule).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` keys map 1:1 to SURVEY.md §2 operators / pipelines plus
+the corpus-scale training-data operators (dedup, similarity search,
+text analysis). Keys present in ``oracle_sql()`` are value-checked
+against DuckDB at sf=0.01; the rest are genuinely non-SQL-expressible
+(geometry kernels, LSH, model scoring) and get rows-only checks.
 """
 
 from __future__ import annotations
 
+import functools
+import os
+import re
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+_SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _corpus_docs_for(sf_dir: str) -> int:
+    """Synthetic-corpus size scaled to the sf tier (deterministic)."""
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else 0.001
+    return max(500, int(100_000 * sf))
+
+
+def _corpus(sf_dir: str):
+    """Deterministic interleaved corpus for this sf tier (cached in /tmp)."""
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.pipelines.extract import generate_corpus
+    n = _corpus_docs_for(sf_dir)
+    path = generate_corpus(f"/tmp/graft_corpus/n{n}", n)
+    return rd.read_parquet(path, columns=["doc_id", "spans"])
+
+
+# ---------------------------------------------------------------------------
+# extraction pipelines (SURVEY.md §3.1, layouts §2.11)
+
+def _extract(sf_dir: str, layout: str):
+    from ocr_table_extractor_to_csv_ray.config import EngineConfig, LayoutConfig
+    from ocr_table_extractor_to_csv_ray.pipelines.extract import build_extraction_ds
+    cfg = EngineConfig(layout=LayoutConfig(layout=layout))
+    out = build_extraction_ds(_corpus(sf_dir), cfg)
+    return out.select_columns(["doc_id", "layout", "n_rows", "n_cols"])
+
+
+def _extract_transformers(sf_dir: str):
+    from ocr_table_extractor_to_csv_ray.pipelines.transformers import build_transformers_ds
+    out = build_transformers_ds(_corpus(sf_dir))
+    return out.select_columns(["doc_id", "layout", "n_rows", "n_cols"])
+
+
+def _extract_text_render(sf_dir: str):
+    """Plain-text ingest: documents table rendered to spans → generic."""
+    from ocr_table_extractor_to_csv_ray.config import EngineConfig, LayoutConfig
+    from ocr_table_extractor_to_csv_ray.pipelines.extract import build_extraction_ds
+    from ocr_table_extractor_to_csv_ray.sources.render import render_documents_batch
+    ds = _docs(sf_dir).map_batches(render_documents_batch, batch_format="pyarrow")
+    cfg = EngineConfig(layout=LayoutConfig(layout="generic"))
+    out = build_extraction_ds(ds, cfg)
+    return out.select_columns(["doc_id", "layout", "n_rows", "n_cols"])
+
+
+def _dataset_builder(sf_dir: str):
+    from ocr_table_extractor_to_csv_ray.pipelines.databuild import build_dataset
+    out = build_dataset(_corpus(sf_dir))
+    return out.select_columns(["doc_id", "n_rows", "n_cols", "error"])
+
+
+def _eval_generic_vs_dynamic(sf_dir: str):
+    import pandas as pd
+    from ocr_table_extractor_to_csv_ray.config import EngineConfig, LayoutConfig
+    from ocr_table_extractor_to_csv_ray.pipelines.evaluate import evaluate_corpus
+    from ocr_table_extractor_to_csv_ray.pipelines.extract import build_extraction_ds
+    corpus = _corpus(sf_dir)
+    ref = build_extraction_ds(corpus, EngineConfig(layout=LayoutConfig(layout="generic")))
+    pred = build_extraction_ds(corpus, EngineConfig(layout=LayoutConfig(layout="dynamic")))
+    m = evaluate_corpus(ref, pred)
+    return pd.DataFrame([{k: m[k] for k in ("text_accuracy", "matched_cells", "total_cells")}])
+
+
+def _ocr_expand(sf_dir: str):
+    from ocr_table_extractor_to_csv_ray.stages.ocr import OcrStage
+    import pyarrow.compute as pc
+
+    def count_spans(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_spans": pc.cast(pc.list_value_length(t["spans"]), pa.int64()),
+        })
+
+    return (_corpus(sf_dir)
+            .map_batches(OcrStage, batch_format="pyarrow", concurrency=2, batch_size=64)
+            .map_batches(count_spans, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis (documents table)
+
+def _doc_token_stats(sf_dir: str):
+    from ocr_table_extractor_to_csv_ray.functions.textstats import token_stats_batch
+    return (_docs(sf_dir)
+            .map_batches(token_stats_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "n_chars", "n_tokens_ws"]))
+
+
+def _lang_distribution(sf_dir: str):
+    from ray.data.aggregate import Count
+    return _docs(sf_dir).groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+def _corpus_stats_by_lang(sf_dir: str):
+    """Partial per-batch aggregation, then the (tiny) groupby — the
+    scale pattern for high-cardinality-safe aggregates."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang").aggregate([("n_chars", "sum"), ("doc_id", "count")])
+        return pa.table({
+            "lang": g["lang"],
+            "chars": pc.cast(g["n_chars_sum"], pa.int64()),
+            "docs": pc.cast(g["doc_id_count"], pa.int64()),
+        })
+
+    partials = _docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("lang").aggregate(
+        Sum("chars", alias_name="total_chars"), Sum("docs", alias_name="n_docs"))
+
+
+def _langid(sf_dir: str):
+    from ocr_table_extractor_to_csv_ray.functions.textstats import LangIdStage
+    return (_docs(sf_dir)
+            .map_batches(LangIdStage, batch_format="pyarrow", concurrency=2)
+            .select_columns(["doc_id", "lang_pred"]))
+
+
+def _quality(sf_dir: str):
+    from ocr_table_extractor_to_csv_ray.functions.textstats import QualityStage
+    return (_docs(sf_dir)
+            .map_batches(QualityStage, batch_format="pyarrow", concurrency=2)
+            .select_columns(["doc_id", "n_tokens", "mean_token_len", "punct_ratio",
+                             "stopword_ratio", "repetition_ratio", "quality_score"]))
+
+
+def _fingerprint(sf_dir: str):
+    from ocr_table_extractor_to_csv_ray.functions.textstats import md5_fingerprint_batch
+    return (_docs(sf_dir)
+            .map_batches(md5_fingerprint_batch, batch_format="pyarrow")
+            .select_columns(["doc_id", "fp"]))
+
+
+def _rolling_fingerprint(sf_dir: str):
+    import pyarrow.compute as pc
+    from ocr_table_extractor_to_csv_ray.functions.textstats import rolling_fingerprint_batch
+
+    def first_hash(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "fp_min": pc.list_element(t["fp_sketch"], 0),
+        })
+
+    return (_docs(sf_dir)
+            .map_batches(rolling_fingerprint_batch, batch_format="pyarrow")
+            .map_batches(first_hash, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# dedup
+
+def _dedup_exact(sf_dir: str):
+    from ocr_table_extractor_to_csv_ray.functions.dedup import exact_dedup
+    return exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
+
+
+def _dedup_minhash(sf_dir: str):
+    from ocr_table_extractor_to_csv_ray.functions.dedup import minhash_lsh_dedup
+    surv, _ = minhash_lsh_dedup(_docs(sf_dir).select_columns(["doc_id", "text"]))
+    return surv.select_columns(["doc_id"])
+
+
+def _dedup_simhash(sf_dir: str):
+    from ocr_table_extractor_to_csv_ray.functions.dedup import simhash_dedup
+    surv, _ = simhash_dedup(_docs(sf_dir).select_columns(["doc_id", "text"]))
+    return surv.select_columns(["doc_id"])
+
+
+def _dedup_ngram(sf_dir: str):
+    from ocr_table_extractor_to_csv_ray.functions.dedup import ngram_jaccard_dedup
+    surv, _ = ngram_jaccard_dedup(_docs(sf_dir).select_columns(["doc_id", "text"]))
+    return surv.select_columns(["doc_id"])
+
+
+def _dedup_embedding(sf_dir: str):
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.dedup import embedding_neardup
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    surv, _ = embedding_neardup(emb, threshold=0.97)
+    return surv.select_columns(["vec_id"])
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+def _query_matrix(sf_dir: str, k: int = 3) -> np.ndarray:
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_numpy())
+    order = np.argsort(ids)[:k]
+    vecs = t["embedding"].to_pylist()
+    return np.stack([np.asarray(vecs[i], dtype=np.float64) for i in order])
+
+
+def _knn_cosine(sf_dir: str):
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.similarity import knn_bruteforce
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = knn_bruteforce(emb, _query_matrix(sf_dir), k=10)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def _knn_ivf(sf_dir: str):
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.similarity import knn_ivf
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = knn_ivf(emb, _query_matrix(sf_dir), k=10)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+# ---------------------------------------------------------------------------
+# events (streaming-shaped aggregate with partial combine)
+
+def _events_hourly(sf_dir: str):
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.divide(pc.cast(t["ts"], pa.int64()), 3_600_000_000)
+        g = (t.drop_columns(["ts"]).append_column("hour_id", hour)
+              .group_by(["user_id", "hour_id"]).aggregate([("user_id", "count")]))
+        return pa.table({
+            "user_id": g["user_id"], "hour_id": g["hour_id"],
+            "n": pc.cast(g["user_id_count"], pa.int64()),
+        })
+
+    return (ev.map_batches(partial, batch_format="pyarrow")
+              .groupby(["user_id", "hour_id"])
+              .aggregate(Sum("n", alias_name="n_events")))
+
+
+# ---------------------------------------------------------------------------
+# driver contract
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: sf0.001 documents rendered to interleaved spans →
+    streaming generic extraction (Ray already initialised)."""
+    return _extract_text_render(_SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # extraction pipelines (geometry kernels; golden-tested in pytest)
+        "extract_generic": functools.partial(_extract, layout="generic"),
+        "extract_dynamic": functools.partial(_extract, layout="dynamic"),
+        "extract_financial": functools.partial(_extract, layout="financial"),
+        "extract_professional": functools.partial(_extract, layout="professional"),
+        "extract_transformers": _extract_transformers,
+        "extract_text_render": _extract_text_render,
+        "dataset_builder": _dataset_builder,
+        "eval_generic_vs_dynamic": _eval_generic_vs_dynamic,
+        "ocr_expand": _ocr_expand,
+        # text analysis
+        "doc_token_stats": _doc_token_stats,
+        "lang_distribution": _lang_distribution,
+        "corpus_stats_by_lang": _corpus_stats_by_lang,
+        "langid": _langid,
+        "quality": _quality,
+        "fingerprint_md5": _fingerprint,
+        "fingerprint_rolling": _rolling_fingerprint,
+        # dedup
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_ngram": _dedup_ngram,
+        "dedup_embedding": _dedup_embedding,
+        # similarity
+        "knn_cosine": _knn_cosine,
+        "knn_ivf": _knn_ivf,
+        # events
+        "events_hourly": _events_hourly,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_token_stats": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   array_length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens_ws
+            FROM documents
+        """,
+        "lang_distribution": """
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        """,
+        "corpus_stats_by_lang": """
+            SELECT lang, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   count(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "fingerprint_md5": """
+            SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "knn_cosine": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings ORDER BY vec_id LIMIT 3),
+            s AS (SELECT q.query_id, e.vec_id,
+                         list_cosine_similarity(e.embedding, q.qe) AS score
+                  FROM embeddings e CROSS JOIN q),
+            r AS (SELECT query_id, vec_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY score DESC, vec_id) AS rank
+                  FROM s)
+            SELECT query_id, vec_id, rank FROM r WHERE rank <= 10
+        """,
+        "events_hourly": """
+            SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id, hour_id
+        """,
+    }

@@ -1,0 +1,138 @@
+"""Benchmark driver: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "extract_docs_per_sec": ...}
+
+`python bench.py --scaling` runs the same job in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same (pre-generated, page-warm)
+input and reports both throughputs + scaling efficiency — the sandbox
+stand-in for the N vs 4N node criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import time
+
+
+def corpus_docs_for(sf_dir: str) -> int:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else 0.001
+    return max(500, int(100_000 * sf))
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as E
+    from ocr_table_extractor_to_csv_ray.config import EngineConfig, LayoutConfig
+    from ocr_table_extractor_to_csv_ray.pipelines.extract import (
+        build_extraction_ds, generate_corpus)
+
+    n_docs = corpus_docs_for(sf_dir)
+    corpus_path = generate_corpus(f"/tmp/graft_corpus/n{n_docs}", n_docs)
+    # warm the page cache so both scaling levels measure compute, not first read
+    for f in sorted(os.listdir(corpus_path)):
+        if f.endswith(".parquet"):
+            with open(os.path.join(corpus_path, f), "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # headline: full streaming extraction incl. partitioned parquet sink
+    out_dir = "/tmp/bench_extract_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def headline():
+        ds = rd.read_parquet(corpus_path, columns=["doc_id", "spans"])
+        cfg = EngineConfig(layout=LayoutConfig(layout="dynamic"))
+        build_extraction_ds(ds, cfg).write_parquet(out_dir,
+                                                   partition_cols=["part_id"])
+
+    timed("extract_dynamic_write", headline)
+
+    qs = E.queries()
+
+    def consume(name):
+        res = qs[name](sf_dir)
+        if hasattr(res, "count"):
+            res.count()
+
+    for q in ("extract_generic", "extract_transformers", "dataset_builder",
+              "dedup_minhash", "knn_cosine", "events_hourly", "doc_token_stats"):
+        timed(q, lambda q=q: consume(q))
+
+    total = round(sum(timings.values()), 3)
+    sf_m = re.search(r"sf([0-9.]+)", sf_dir)
+    result = {
+        "metric": "sec_total_headline_pipelines",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf_m.group(1).rstrip(".")) if sf_m else None,
+        "num_cpus": num_cpus,
+        "extract_docs": n_docs,
+        "extract_docs_per_sec": round(n_docs / timings["extract_dynamic_write"], 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Fresh process per parallelism level; same pre-generated input."""
+    # pre-generate + warm once (untimed) so both runs see identical state
+    n_docs = corpus_docs_for(sf_dir)
+    env = dict(os.environ)
+
+    def run(ncpu: int) -> dict:
+        env["RAY_GRAFT_CPUS"] = str(ncpu)
+        env["GRAFT_SF_DIR"] = sf_dir
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True, check=True)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo = r_lo["queries"]["extract_dynamic_write"]
+    t_hi = r_hi["queries"]["extract_dynamic_write"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency_extract",
+        "sf_dir": sf_dir, "extract_docs": n_docs,
+        "num_cpus_lo": lo, "num_cpus_hi": hi,
+        "sec_lo": t_lo, "sec_hi": t_hi,
+        "docs_per_sec_lo": round(n_docs / t_lo, 1),
+        "docs_per_sec_hi": round(n_docs / t_hi, 1),
+        "scaling_efficiency": round(eff, 3),
+        "total_sec_lo": r_lo["value"], "total_sec_hi": r_hi["value"],
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_bench(sf_dir, num_cpus)))

@@ -1,0 +1,159 @@
+"""The flagship extraction pipeline (reference ``run.py`` / ``main.py:57-163``
+re-expressed Ray-Data-first; physical plan in SURVEY.md §4.3).
+
+    read_parquet(doc_id, spans)                # column-pruned read
+      └─ map_batches(add part_id)             # explicit hash(doc_id) partition id
+      └─ map_batches(extract_batch)           # fused per-doc geometry kernel
+      └─ write_parquet(partition_cols=...)    # resumable partitioned output
+
+Streaming end-to-end: no stage materializes the dataset; the only
+materialization anywhere is the (tiny) per-shard lineage record.
+"""
+
+from __future__ import annotations
+
+import functools
+import glob
+import os
+import zlib
+from typing import Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import EngineConfig, LayoutConfig
+from ..stages.extract import extract_batch
+from ..state import lineage
+
+
+def corpus_files(input_dir: str) -> List[str]:
+    return sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+
+
+def add_part_id_batch(t: pa.Table, num_partitions: int) -> pa.Table:
+    """Stable ``part_id = crc32(doc_id) % P`` (content-derived, so the
+    same document lands in the same partition on every run/cluster)."""
+    ids = t["doc_id"].to_pylist()
+    pid = np.array([zlib.crc32(str(d).encode()) % num_partitions for d in ids],
+                   dtype=np.int32)
+    out = t
+    if "part_id" in out.column_names:
+        out = out.drop_columns(["part_id"])
+    return out.append_column("part_id", pa.array(pid))
+
+
+def build_extraction_ds(ds, cfg: EngineConfig):
+    """Attach the extraction stages to an input Dataset (lazy)."""
+    ds = ds.map_batches(
+        functools.partial(add_part_id_batch, num_partitions=cfg.num_output_partitions),
+        batch_format="pyarrow",
+    )
+
+    def _extract(t: pa.Table) -> pa.Table:
+        part = t["part_id"]
+        out = extract_batch(t, cfg.layout)
+        return out.append_column("part_id", part)
+
+    return ds.map_batches(_extract, batch_format="pyarrow",
+                          batch_size=cfg.batch_size)
+
+
+def read_corpus(paths, parallelism: int = 0):
+    import ray.data as rd
+    kwargs = {"columns": ["doc_id", "spans"]}
+    if parallelism:
+        kwargs["override_num_blocks"] = parallelism
+    return rd.read_parquet(paths, **kwargs)
+
+
+def run_extraction(input_dir: str, out_dir: str,
+                   cfg: Optional[EngineConfig] = None):
+    """Single-shot streaming run (bench path): read → extract → write."""
+    cfg = cfg or EngineConfig()
+    ds = read_corpus(corpus_files(input_dir), cfg.num_partitions)
+    out = build_extraction_ds(ds, cfg)
+    out.write_parquet(out_dir, partition_cols=["part_id"])
+    return out_dir
+
+
+def run_extraction_resumable(input_dir: str, out_dir: str,
+                             cfg: Optional[EngineConfig] = None,
+                             num_shards: int = 8) -> Dict:
+    """Sharded, lineage-recorded, resumable run.
+
+    Input files are deterministically sharded; each shard is one
+    streaming pipeline into ``out/shard=XXXX/`` followed by an atomic
+    lineage record. A restart skips every shard whose record matches
+    its input fingerprint and re-runs the rest from clean directories.
+    At cluster scale each shard is still a full streaming job — the
+    shard loop only bounds the blast radius of a failure.
+    """
+    cfg = cfg or EngineConfig()
+    files = corpus_files(input_dir)
+    shards = lineage.shard_input_files(files, num_shards)
+    done, ran = [], []
+    for sid, shard_files in enumerate(shards):
+        if lineage.shard_is_done(out_dir, sid, shard_files):
+            done.append(sid)
+            continue
+        lineage.reset_shard(out_dir, sid)
+        with lineage.ShardTimer() as t:
+            ds = read_corpus(shard_files, cfg.num_partitions)
+            out = build_extraction_ds(ds, cfg)
+            sdir = lineage.shard_dir(out_dir, sid)
+            out.write_parquet(sdir)
+            import pyarrow.dataset as pads
+            written = pads.dataset(sdir)
+            doc_count = written.count_rows()
+            row_count = sum(
+                pc.sum(pc.list_value_length(b.column("spans"))).as_py() or 0
+                for b in written.to_batches(columns=["spans"])
+            )
+        lineage.write_record(out_dir, lineage.LineageRecord(
+            shard_id=sid,
+            input_files=shard_files,
+            input_fingerprint=lineage.fingerprint_files(shard_files),
+            row_count=int(row_count),
+            doc_count=int(doc_count),
+            latency_s=round(t.latency_s, 4),
+        ))
+        ran.append(sid)
+    return {"shards_total": len(shards), "shards_skipped": done, "shards_ran": ran}
+
+
+# ---------------------------------------------------------------------------
+# Ray-parallel synthetic corpus generation (a Dataset source)
+
+def generate_corpus(out_dir: str, n_docs: int, seed: int = 42,
+                    docs_per_block: int = 1000) -> str:
+    """Materialize the deterministic corpus via Ray (parallel gen),
+    cached: if the directory already holds the right doc count, reuse."""
+    import ray.data as rd
+    import pyarrow.dataset as pads
+    from ..sources.synthetic import corpus_table
+
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == f"{n_docs}:{seed}":
+                return out_dir
+    import shutil
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+
+    starts = list(range(0, n_docs, docs_per_block))
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        tables = []
+        for s in batch["start"].to_pylist():
+            k = min(docs_per_block, n_docs - s)
+            tables.append(corpus_table(k, seed, start=s))
+        return pa.concat_tables(tables)
+
+    (rd.from_items([{"start": s} for s in starts])
+       .map_batches(_gen, batch_format="pyarrow", batch_size=1)
+       .write_parquet(out_dir))
+    with open(marker, "w") as fh:
+        fh.write(f"{n_docs}:{seed}")
+    return out_dir

@@ -1,0 +1,59 @@
+"""The ``transformers`` pipeline (reference entry point 1, layout
+``transformers`` — ``layout_transformers.py:446-565``):
+
+    read corpus
+      └─ map_batches(OcrStage, concurrency=…)        # media → word spans (actor pool)
+      └─ map_batches(LayoutScorerStage, concurrency=…) # model labels (actor pool)
+      └─ map_batches(TransformersExtractStage)         # 3-level fallback compose
+
+Both stateful stages are actor pools (A1/A2): engine/model setup once
+per actor, sized by ``EngineConfig.{ocr,model}_{concurrency,batch_size}``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ..config import EngineConfig, LayoutConfig
+from ..stages.model import LayoutScorerStage, TransformersExtractStage
+from ..stages.ocr import OcrStage
+
+
+def _pool_sizes(cfg: EngineConfig) -> tuple:
+    """Cap the two actor pools so they never reserve every CPU — a pool
+    that takes the whole cluster starves the read/write stages and the
+    streaming pipeline deadlocks (ray_guide: size ``concurrency ×
+    num_cpus`` to leave headroom)."""
+    import ray
+    try:
+        avail = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        avail = 8
+    budget = max(2, (avail * 2) // 3)          # at most 2/3 of CPUs in pools
+    ocr = max(1, min(cfg.ocr_concurrency, budget // 2))
+    model = max(1, min(cfg.model_concurrency, budget - ocr))
+    return ocr, model
+
+
+def build_transformers_ds(ds, cfg: Optional[EngineConfig] = None):
+    cfg = cfg or EngineConfig(layout=LayoutConfig(layout="transformers"))
+    lcfg = cfg.layout
+    ocr_n, model_n = _pool_sizes(cfg)
+    ds = ds.map_batches(
+        OcrStage, batch_format="pyarrow",
+        fn_constructor_kwargs={"cfg": lcfg},
+        batch_size=cfg.ocr_batch_size,
+        concurrency=ocr_n,
+    )
+    ds = ds.map_batches(
+        LayoutScorerStage, batch_format="pyarrow",
+        fn_constructor_kwargs={"cfg": lcfg},
+        batch_size=cfg.model_batch_size,
+        concurrency=model_n,
+    )
+    # the compose stage is stateless geometry — plain task, not a pool
+    stage = TransformersExtractStage(lcfg)
+    return ds.map_batches(
+        lambda t: stage(t), batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+    )

@@ -1,0 +1,156 @@
+"""Layout-model actor-pool stage + the ``transformers`` extraction path.
+
+Reference flow (``layout_transformers.py:446-565``): OCR words → model
+labels per token (A1/M9) → PRIMARY: rebuild tokens and run the generic
+heuristics → FALLBACK 1: compose the table purely from model labels
+(G17-G21) → FALLBACK 2: spatial professional grid.
+
+The real LayoutLMv3 weights cannot load here (no torch/transformers, no
+network), so the scorer is a DETERMINISTIC TEACHER STUB: it labels
+tokens with the same generic-teacher algorithm the reference's dataset
+builder uses (``dataset_builder.py:225-238``) — the exact label
+vocabulary (``HEADER_COL_i``/``BODY_COL_i``/``OTHER``) a fine-tuned
+model would emit. Actor plumbing (load-once ``__init__``, batched
+``__call__``) is real and identical to a weights-backed scorer.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import LayoutConfig
+from ..core.cleaners import process_grid_data
+from ..core.databuild import build_example
+from ..core.doc import TokenSOA
+from ..core.geometry import build_lines, estimate_columns
+from ..core.gridpro import professional_grid
+from ..core.layouts import DocResult
+from ..core.records import detect_header_row, merge_lines_into_rows
+from ..core.spans import grid_to_spans
+from ..core.transformers_layout import Predictions, compose_table
+from ..core.assigners import assign_words_to_columns
+from .extract import decode_token_batch, make_span_column
+
+
+class LayoutScorerStage:
+    """Actor: label each word token of each document.
+
+    ``__init__`` is the once-per-actor model load (here: teacher-stub
+    setup; with weights: processor+model load, ``layout_transformers.py:128-140``).
+    ``__call__`` consumes an Arrow batch of documents and appends a
+    ``labels`` list column aligned with the word spans.
+    """
+
+    def __init__(self, cfg: Optional[LayoutConfig] = None) -> None:
+        self.cfg = cfg or LayoutConfig()
+        try:  # pragma: no cover — not installed in this environment
+            import transformers  # noqa: F401
+            import torch  # noqa: F401
+            self._backend = "layoutlmv3"
+            raise NotImplementedError(
+                "weights-backed scorer: load LayoutLMv3Processor/"
+                "ForTokenClassification here (lru-cache equivalent is the actor)")
+        except ImportError:
+            self._backend = "teacher-stub"
+
+    def _score_doc(self, doc_id: str, toks: TokenSOA) -> List[str]:
+        ex = build_example(doc_id, toks, max_columns=self.cfg.max_model_columns)
+        if ex is None:
+            return ["OTHER"] * len(toks)
+        # build_example walks lines in order; map labels back to token order
+        labels = ["OTHER"] * len(toks)
+        lines = build_lines(toks)
+        pos = 0
+        for ln in lines:
+            for ti in ln.idx:
+                labels[int(ti)] = ex.labels[pos]
+                pos += 1
+        return labels
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        word_offsets, toks, has_lid = decode_token_batch(batch["spans"])
+        doc_ids = batch["doc_id"].to_pylist()
+        out_labels: List[List[str]] = []
+        for i in range(batch.num_rows):
+            sl = slice(word_offsets[i], word_offsets[i + 1])
+            doc = TokenSOA(text=toks.text[sl], page=toks.page[sl],
+                           x1=toks.x1[sl], y1=toks.y1[sl],
+                           x2=toks.x2[sl], y2=toks.y2[sl],
+                           line_id=toks.line_id[sl] if has_lid[sl].any() else None)
+            out_labels.append(self._score_doc(str(doc_ids[i]), doc))
+        out = batch
+        if "labels" in out.column_names:
+            out = out.drop_columns(["labels"])
+        return out.append_column("labels", pa.array(out_labels, pa.list_(pa.string())))
+
+
+def transformers_extract_doc(toks: TokenSOA, labels: List[str],
+                             cfg: LayoutConfig) -> DocResult:
+    """The 3-level fallback chain (``layout_transformers.py:502-565``),
+    given tokens + model labels for ONE document."""
+    if len(toks) == 0:
+        return DocResult()
+    target_cols = cfg.expected_n_cols or cfg.max_model_columns
+
+    # PRIMARY: generic heuristics over rebuilt tokens (page forced to 1,
+    # layout_transformers.py:505-514)
+    flat = TokenSOA(text=toks.text, page=np.ones(len(toks), dtype=np.int64),
+                    x1=toks.x1, y1=toks.y1, x2=toks.x2, y2=toks.y2, line_id=None)
+    lines = build_lines(flat)
+    if lines:
+        intervals = estimate_columns(lines, flat, expected_n_cols=target_cols)
+        if intervals:
+            records = assign_words_to_columns(lines, flat, intervals)
+            grid_rows = merge_lines_into_rows(records, lines, flat)
+            if grid_rows:
+                header_row, body = detect_header_row(
+                    grid_rows,
+                    header_regexes=list(cfg.header_regexes) if cfg.header_regexes else None)
+                return DocResult(header=header_row or [],
+                                 rows=process_grid_data(body))
+
+    # FALLBACK 1: compose purely from model labels (G17-G21)
+    preds = Predictions.from_labels(flat, labels)
+    header, rows = compose_table(preds, max_columns=target_cols or cfg.max_model_columns)
+    if rows:
+        return DocResult(header=header, rows=process_grid_data(rows))
+
+    # FALLBACK 2: spatial professional grid (layout_transformers.py:552-561)
+    header, body = professional_grid(flat)
+    return DocResult(header=header, rows=process_grid_data(body))
+
+
+class TransformersExtractStage:
+    """Fused stage: consumes batches that already carry ``labels``
+    (from :class:`LayoutScorerStage`) and emits the output span column —
+    same output schema as ``stages/extract.py``."""
+
+    def __init__(self, cfg: Optional[LayoutConfig] = None) -> None:
+        self.cfg = cfg or LayoutConfig(layout="transformers")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        word_offsets, toks, has_lid = decode_token_batch(batch["spans"])
+        labels_col = batch["labels"].to_pylist()
+        n = batch.num_rows
+        span_out, n_rows, n_cols = [], np.zeros(n, np.int32), np.zeros(n, np.int32)
+        for i in range(n):
+            sl = slice(word_offsets[i], word_offsets[i + 1])
+            doc = TokenSOA(text=toks.text[sl], page=toks.page[sl],
+                           x1=toks.x1[sl], y1=toks.y1[sl],
+                           x2=toks.x2[sl], y2=toks.y2[sl], line_id=None)
+            # labels list covers word spans in span order == token order
+            labs = labels_col[i] or []
+            res = transformers_extract_doc(doc, labs, self.cfg)
+            span_out.append(grid_to_spans(res.header, res.rows))
+            n_rows[i], n_cols[i] = res.n_rows, res.n_cols
+        doc_id = batch["doc_id"].combine_chunks() if isinstance(batch["doc_id"], pa.ChunkedArray) else batch["doc_id"]
+        return pa.table({
+            "doc_id": doc_id,
+            "layout": pa.array(["transformers"] * n, pa.string()),
+            "n_rows": pa.array(n_rows),
+            "n_cols": pa.array(n_cols),
+            "spans": make_span_column(span_out),
+        })

@@ -1,0 +1,114 @@
+"""OCR actor-pool stage: media spans → word spans.
+
+Mirrors the reference's Tesseract path (S4 ``ocr_utils.py:10-49``, S5
+``layout_transformers.py:68-125``): per-word text + bbox + confidence,
+words with confidence <= threshold dropped (M3), optional ``table_bbox``
+containment crop, ``lang/psm/oem`` knobs.
+
+Ray mapping (SURVEY.md §2.4 A2): a callable CLASS → actor pool via
+``ds.map_batches(OcrStage, concurrency=N, batch_size=small)``. Engine
+setup happens ONCE per actor in ``__init__``. The real Tesseract binary
+is not present in this environment, so the engine resolves to a
+DETERMINISTIC FAKE (seeded by the media ref) unless ``pytesseract`` is
+importable — the Ray-side plumbing (schema, batching, actor signature,
+output layout) is identical either way.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import LayoutConfig
+from ..core.spans import KIND_MEDIA, KIND_WORD, encode_bbox_ref
+
+_FAKE_WORDS = [
+    "Caja", "Bancos", "Clientes", "Inventario", "Proveedores", "Capital",
+    "Total", "Nota", "Saldo", "Importe", "1,234", "56,780", "(9,012)",
+    "$4,567", "-", "2021", "2022",
+]
+
+
+class _FakeTesseract:
+    """Deterministic stand-in for ``pytesseract.image_to_data``.
+
+    Emits a plausible 3-column page of (word, bbox, conf) tuples, a pure
+    function of the media ref — same ref, same tokens, any process.
+    """
+
+    def image_to_words(self, media_ref: str) -> List[Tuple[str, int, int, int, int, int]]:
+        rng = np.random.default_rng(zlib.crc32(media_ref.encode()))
+        out = []
+        y = 100
+        n_rows = int(rng.integers(4, 12))
+        for _ in range(n_rows):
+            for cx in (100, 1200, 1600):
+                if rng.random() < 0.2:
+                    continue
+                w = _FAKE_WORDS[int(rng.integers(0, len(_FAKE_WORDS)))]
+                conf = int(rng.integers(30, 100))   # some fall under the threshold
+                out.append((w, cx, y, cx + 9 * len(w) + 4, y + 20, conf))
+            y += int(rng.integers(30, 44))
+        return out
+
+
+class OcrStage:
+    """``map_batches`` actor: expands each ``kind="media"`` span of a
+    document into word spans (appended after the existing spans, offsets
+    continuing), leaving word spans untouched."""
+
+    def __init__(self, cfg: Optional[LayoutConfig] = None) -> None:
+        self.cfg = cfg or LayoutConfig()
+        try:  # pragma: no cover - real engine absent in this environment
+            import pytesseract  # noqa: F401
+            self._engine = "tesseract"
+        except ImportError:
+            self._engine = "fake"
+        self._fake = _FakeTesseract()
+
+    def _ocr_one(self, media_ref: str) -> List[Tuple[str, int, int, int, int]]:
+        if self._engine == "tesseract":  # pragma: no cover
+            raise NotImplementedError(
+                "real Tesseract path requires image bytes + pytesseract; "
+                "wire image loading here when the libs exist")
+        words = self._fake.image_to_words(media_ref)
+        out = []
+        bbox = self.cfg.table_bbox
+        for text, x1, y1, x2, y2, conf in words:
+            if conf <= self.cfg.ocr_min_confidence:   # layout_transformers.py:95-100
+                continue
+            if not text.strip():
+                continue
+            if bbox and not (x1 >= bbox[0] and y1 >= bbox[1]
+                             and x2 <= bbox[2] and y2 <= bbox[3]):
+                continue
+            out.append((text, x1, y1, x2, y2))
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        spans_col = batch["spans"].combine_chunks() if isinstance(batch["spans"], pa.ChunkedArray) else batch["spans"]
+        rows = spans_col.to_pylist()
+        new_rows = []
+        for spans in rows:
+            spans = spans or []
+            media = [s for s in spans if s["kind"] == KIND_MEDIA]
+            if not media:
+                new_rows.append(spans)
+                continue
+            off = max((s["offset"] for s in spans), default=-1) + 1
+            extra = []
+            for m in media:
+                page = 1 + media.index(m)   # each media ref = one page image
+                for text, x1, y1, x2, y2 in self._ocr_one(m["media_ref"]):
+                    extra.append({
+                        "kind": KIND_WORD, "text": text,
+                        "media_ref": encode_bbox_ref(page, x1, y1, x2, y2),
+                        "offset": off,
+                    })
+                    off += 1
+            new_rows.append(spans + extra)
+        out = batch.drop_columns(["spans"])
+        return out.append_column("spans", pa.array(new_rows, type=spans_col.type))

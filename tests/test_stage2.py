@@ -1,0 +1,331 @@
+"""Golden + unit tests for the stage-2 surface: transformers layout,
+dataset builder, evaluation, OCR stage, dedup, similarity, lineage."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ocr_table_extractor_to_csv_ray.config import LayoutConfig
+from ocr_table_extractor_to_csv_ray.core.databuild import build_example
+from ocr_table_extractor_to_csv_ray.core.doc import TokenSOA
+from ocr_table_extractor_to_csv_ray.core.spans import spans_to_grid
+from ocr_table_extractor_to_csv_ray.core.transformers_layout import (
+    Predictions, compose_table)
+from ocr_table_extractor_to_csv_ray.stages.extract import decode_token_batch
+from ocr_table_extractor_to_csv_ray.stages.model import transformers_extract_doc
+from ocr_table_extractor_to_csv_ray.stages.ocr import OcrStage
+
+from refimpl import (ref_build_example, ref_compose, ref_evaluate,
+                     ref_transformers_extract, spans_to_ref_tokens)
+
+
+def _doc_tokens(tbl, i) -> TokenSOA:
+    word_offsets, toks, has_lid = decode_token_batch(tbl["spans"])
+    sl = slice(word_offsets[i], word_offsets[i + 1])
+    return TokenSOA(text=toks.text[sl], page=toks.page[sl],
+                    x1=toks.x1[sl], y1=toks.y1[sl],
+                    x2=toks.x2[sl], y2=toks.y2[sl],
+                    line_id=toks.line_id[sl] if has_lid[sl].any() else None)
+
+
+def _teacher_labels(doc_id: str, toks: TokenSOA):
+    """Same label path the scorer stub uses (token order)."""
+    from ocr_table_extractor_to_csv_ray.stages.model import LayoutScorerStage
+    stage = LayoutScorerStage.__new__(LayoutScorerStage)
+    stage.cfg = LayoutConfig()
+    stage._backend = "teacher-stub"
+    return stage._score_doc(doc_id, toks)
+
+
+# ---------------------------------------------------------------------------
+# transformers layout
+
+def test_compose_matches_reference(corpus_200):
+    n_checked = 0
+    for i in range(corpus_200.num_rows):
+        doc = corpus_200.slice(i, 1).to_pylist()[0]
+        toks = _doc_tokens(corpus_200, i)
+        if len(toks) == 0:
+            continue
+        labels = _teacher_labels(doc["doc_id"], toks)
+        ref_toks = spans_to_ref_tokens(doc["spans"])
+        rh, rr = ref_compose(ref_toks, labels, max_columns=6)
+        flat = TokenSOA(text=toks.text, page=np.ones(len(toks), np.int64),
+                        x1=toks.x1, y1=toks.y1, x2=toks.x2, y2=toks.y2)
+        preds = Predictions.from_labels(flat, labels)
+        eh, er = compose_table(preds, max_columns=6)
+        from ocr_table_extractor_to_csv_ray.core.cleaners import process_grid_data
+        er = process_grid_data(er)
+        assert (list(rh), [list(r) for r in rr]) == (eh, er), doc["doc_id"]
+        n_checked += 1
+    assert n_checked > 100
+
+
+def test_transformers_chain_matches_reference(corpus_200):
+    for i in range(corpus_200.num_rows):
+        doc = corpus_200.slice(i, 1).to_pylist()[0]
+        toks = _doc_tokens(corpus_200, i)
+        if len(toks) == 0:
+            continue
+        labels = _teacher_labels(doc["doc_id"], toks)
+        rh, rr = ref_transformers_extract(doc["spans"], labels)
+        res = transformers_extract_doc(toks, labels, LayoutConfig(layout="transformers"))
+        assert (list(rh), [list(r) for r in rr]) == (res.header, res.rows), doc["doc_id"]
+
+
+# ---------------------------------------------------------------------------
+# dataset builder
+
+def test_build_example_matches_reference(corpus_200):
+    n_checked = 0
+    for i in range(corpus_200.num_rows):
+        doc = corpus_200.slice(i, 1).to_pylist()[0]
+        toks = _doc_tokens(corpus_200, i)
+        ref_ex = ref_build_example(doc["spans"])
+        ex = build_example(doc["doc_id"], toks)
+        if ref_ex is None:
+            assert ex is None, doc["doc_id"]
+            continue
+        assert ex is not None, doc["doc_id"]
+        assert ex.words == ref_ex["words"], doc["doc_id"]
+        assert ex.bboxes == ref_ex["bboxes"], doc["doc_id"]
+        assert ex.labels == ref_ex["labels"], doc["doc_id"]
+        assert ex.row_ids == ref_ex["row_ids"], doc["doc_id"]
+        assert ex.col_ids == ref_ex["col_ids"], doc["doc_id"]
+        assert ex.is_header == ref_ex["is_header"], doc["doc_id"]
+        assert ex.table_header == ref_ex["table_header"], doc["doc_id"]
+        assert [list(r) for r in ex.table_rows] == [list(r) for r in ref_ex["table_rows"]]
+        n_checked += 1
+    assert n_checked > 100
+
+
+# ---------------------------------------------------------------------------
+# evaluation
+
+def test_evaluate_matches_reference(corpus_200, tmp_path, ray_session):
+    """Corpus evaluator on ONE doc == reference evaluate_tables on the
+    same grids via real CSV round-trip."""
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.pipelines.evaluate import evaluate_corpus
+    from ocr_table_extractor_to_csv_ray.stages.extract import extract_batch
+
+    one = corpus_200.slice(1, 1)   # generic4 archetype
+    gen = extract_batch(one, LayoutConfig(layout="generic"))
+    dyn = extract_batch(one, LayoutConfig(layout="dynamic"))
+
+    def grid(tbl):
+        lst = tbl["spans"].to_pylist()[0]
+        return spans_to_grid([(s["kind"], s["text"], s["media_ref"], s["offset"])
+                              for s in lst])
+
+    ref_res = ref_evaluate(grid(gen), grid(dyn), tmp_path)
+    ours = evaluate_corpus(
+        rd.from_arrow(gen.select(["doc_id", "spans"])),
+        rd.from_arrow(dyn.select(["doc_id", "spans"])))
+    assert ours["total_cells"] == ref_res.total_cells
+    assert ours["matched_cells"] == ref_res.matched_cells
+    assert ours["text_accuracy"] == pytest.approx(ref_res.text_accuracy)
+    ref_cols = {m.column: m for m in ref_res.numeric_by_column}
+    # reference names columns by CSV header; ours by index — compare by order
+    assert len(ours["numeric_by_column"]) == len(ref_res.numeric_by_column)
+    for ours_m, ref_m in zip(ours["numeric_by_column"], ref_res.numeric_by_column):
+        assert ours_m["n"] == ref_m.n
+        assert ours_m["mse"] == pytest.approx(ref_m.mse)
+        assert ours_m["rmse"] == pytest.approx(ref_m.rmse)
+        if math.isnan(ref_m.r2):
+            assert math.isnan(ours_m["r2"])
+        else:
+            assert ours_m["r2"] == pytest.approx(ref_m.r2)
+
+
+# ---------------------------------------------------------------------------
+# OCR stage
+
+def _media_doc(doc_id="m-1", n_media=2):
+    spans = [{"kind": "media", "text": "", "media_ref": f"img://{doc_id}/p{i}",
+              "offset": i} for i in range(n_media)]
+    from ocr_table_extractor_to_csv_ray.sources.synthetic import SPAN_TYPE
+    return pa.table({"doc_id": pa.array([doc_id]),
+                     "spans": pa.array([spans], pa.list_(SPAN_TYPE))})
+
+
+def test_ocr_stage_deterministic_and_filtered():
+    stage = OcrStage()
+    t = _media_doc()
+    out1 = stage(t)["spans"].to_pylist()[0]
+    out2 = stage(t)["spans"].to_pylist()[0]
+    assert out1 == out2                        # same ref → same tokens
+    words = [s for s in out1 if s["kind"] == "word"]
+    assert len(words) > 0
+    offs = [s["offset"] for s in out1]
+    assert offs == sorted(offs) and len(set(offs)) == len(offs)
+    # word spans parse back through the geometry decoder
+    toks = _doc_tokens(stage(t), 0)
+    assert len(toks) == len(words)
+    # confidence filter: fake emits conf 30..99, threshold 60 drops some
+    lax = OcrStage(LayoutConfig(ocr_min_confidence=0))
+    assert len(lax(t)["spans"].to_pylist()[0]) > len(out1)
+
+
+def test_ocr_bbox_crop():
+    stage = OcrStage(LayoutConfig(table_bbox=(0, 0, 1100, 3000)))
+    out = stage(_media_doc())["spans"].to_pylist()[0]
+    toks = [s for s in out if s["kind"] == "word"]
+    for s in toks:
+        assert "/100," in s["media_ref"]       # only the x=100 column survives
+
+
+# ---------------------------------------------------------------------------
+# dedup units
+
+def test_minhash_estimates_jaccard():
+    from ocr_table_extractor_to_csv_ray.functions.dedup import (
+        _perm_params, minhash_signature)
+    from ocr_table_extractor_to_csv_ray.functions.textstats import shingle_hashes
+    rng = np.random.default_rng(0)
+    words = [f"w{i}" for i in range(50)]
+    a_txt = " ".join(words)
+    b_txt = " ".join(words[:40] + [f"x{i}" for i in range(10)])
+    sa, sb = shingle_hashes(a_txt), shingle_hashes(b_txt)
+    inter = len(np.intersect1d(sa, sb))
+    true_j = inter / (len(sa) + len(sb) - inter)
+    a, b = _perm_params(256, 7)
+    est = float(np.mean(minhash_signature(sa, a, b) == minhash_signature(sb, a, b)))
+    assert abs(est - true_j) < 0.12
+
+
+def test_exact_dedup(ray_session):
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.dedup import exact_dedup
+    t = pa.table({"doc_id": pa.array([3, 1, 2, 5], pa.int64()),
+                  "text": pa.array(["a", "a", "b", "b"])})
+    out = exact_dedup(rd.from_arrow(t)).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2]
+
+
+def test_minhash_dedup_clusters(ray_session):
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.dedup import minhash_lsh_dedup
+    base = " ".join(f"tok{i}" for i in range(60))
+    texts = [base, base + " tail", "totally different words entirely apart " * 5]
+    t = pa.table({"doc_id": pa.array([10, 20, 30], pa.int64()),
+                  "text": pa.array(texts)})
+    surv, clusters = minhash_lsh_dedup(rd.from_arrow(t), threshold=0.7)
+    ids = sorted(surv.to_pandas()["doc_id"])
+    assert ids == [10, 30]                      # 20 deduped into 10's cluster
+    assert clusters.get(20) == 10
+
+
+def test_simhash_hamming():
+    from ocr_table_extractor_to_csv_ray.functions.dedup import SimHashStage, hamming64
+    st = SimHashStage()
+    a = st.simhash("the quick brown fox jumps over the lazy dog " * 3)
+    b = st.simhash("the quick brown fox jumps over the lazy cat " * 3)
+    c = st.simhash("completely unrelated legal contract boilerplate text here")
+    assert hamming64(a, a) == 0
+    assert hamming64(a, b) < hamming64(a, c)
+
+
+def test_union_find_transitive():
+    from ocr_table_extractor_to_csv_ray.functions.dedup import clusters_from_pairs
+    cl = clusters_from_pairs([(2, 3), (3, 4), (10, 11)])
+    assert cl[2] == cl[3] == cl[4] == 2
+    assert cl[10] == cl[11] == 10
+
+
+def test_embedding_neardup(ray_session):
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.dedup import embedding_neardup
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(32).astype(np.float32)
+    vecs = [base, base + 0.001 * rng.standard_normal(32).astype(np.float32),
+            rng.standard_normal(32).astype(np.float32)]
+    t = pa.table({"vec_id": pa.array([1, 2, 3], pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float32()))})
+    surv, cl = embedding_neardup(rd.from_arrow(t), threshold=0.99)
+    assert sorted(surv.to_pandas()["vec_id"]) == [1, 3]
+    assert cl.get(2) == 1
+
+
+# ---------------------------------------------------------------------------
+# similarity
+
+def test_knn_matches_numpy(ray_session):
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.similarity import knn_bruteforce
+    rng = np.random.default_rng(9)
+    mat = rng.standard_normal((200, 16)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(200, dtype=np.int64)),
+                  "embedding": pa.array([v.tolist() for v in mat],
+                                        pa.list_(pa.float32()))})
+    Q = mat[:2].astype(np.float64)
+    out = (knn_bruteforce(rd.from_arrow(t), Q, k=5).to_pandas()
+           .sort_values(["query_id", "rank"]))
+    unit = mat.astype(np.float64)
+    unit /= np.linalg.norm(unit, axis=1, keepdims=True)
+    qm = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sims = unit @ qm.T
+    for qi in range(2):
+        expect = np.lexsort((np.arange(200), -sims[:, qi]))[:5]
+        got = out[out.query_id == qi]["vec_id"].to_numpy()
+        assert list(got) == list(expect)
+
+
+# ---------------------------------------------------------------------------
+# lineage / resume
+
+def test_resumable_extraction(ray_session, corpus_dir, tmp_path):
+    import json, os
+    from ocr_table_extractor_to_csv_ray.config import EngineConfig
+    from ocr_table_extractor_to_csv_ray.pipelines.extract import (
+        run_extraction_resumable)
+    from ocr_table_extractor_to_csv_ray.state import lineage
+
+    out = str(tmp_path / "out")
+    cfg = EngineConfig()
+    r1 = run_extraction_resumable(corpus_dir, out, cfg, num_shards=4)
+    assert len(r1["shards_ran"]) == 4 and not r1["shards_skipped"]
+    recs = [lineage.load_record(out, s) for s in range(4)]
+    assert all(r and r.doc_count > 0 for r in recs)
+    assert sum(r.doc_count for r in recs) == 200
+
+    # restart: everything skipped
+    r2 = run_extraction_resumable(corpus_dir, out, cfg, num_shards=4)
+    assert r2["shards_skipped"] == [0, 1, 2, 3] and not r2["shards_ran"]
+
+    # lose one record → only that shard re-runs
+    os.remove(lineage.record_path(out, 2))
+    r3 = run_extraction_resumable(corpus_dir, out, cfg, num_shards=4)
+    assert r3["shards_ran"] == [2] and sorted(r3["shards_skipped"]) == [0, 1, 3]
+
+    # fingerprint mismatch → shard re-runs from clean dir
+    rec = lineage.load_record(out, 1)
+    rec.input_fingerprint = "stale"
+    lineage.write_record(out, rec)
+    r4 = run_extraction_resumable(corpus_dir, out, cfg, num_shards=4)
+    assert r4["shards_ran"] == [1]
+    import pyarrow.dataset as pads
+    total = sum(pads.dataset(lineage.shard_dir(out, s)).count_rows() for s in range(4))
+    assert total == 200                         # no duplicates, no gaps
+
+
+# ---------------------------------------------------------------------------
+# render ingest
+
+def test_render_documents(ray_session):
+    from ocr_table_extractor_to_csv_ray.sources.render import (
+        render_documents_batch, render_text_to_spans)
+    spans = render_text_to_spans("hello world " * 1500)
+    assert len(spans) == 3000
+    pages = {int(s["media_ref"].split("/")[2].lstrip("p")) for s in spans}
+    assert len(pages) > 1                       # page-break exercised
+    t = pa.table({"doc_id": pa.array([7], pa.int64()),
+                  "text": pa.array(["one two three"])})
+    out = render_documents_batch(t)
+    assert out["doc_id"].to_pylist() == ["7"]
+    assert len(out["spans"].to_pylist()[0]) == 3

@@ -109,6 +109,51 @@ def _ocr_expand(sf_dir: str):
 # ---------------------------------------------------------------------------
 # text analysis (documents table)
 
+def _hocr_parse_extract(sf_dir: str):
+    """S1 path: corpus docs rendered to real hOCR markup, parsed back by
+    the stdlib hOCR parser, extracted with the generic kernel."""
+    from ocr_table_extractor_to_csv_ray.config import EngineConfig, LayoutConfig
+    from ocr_table_extractor_to_csv_ray.pipelines.extract import build_extraction_ds
+    from ocr_table_extractor_to_csv_ray.sources.hocr import (
+        parse_hocr_batch, tokens_to_hocr)
+
+    def to_hocr(t: pa.Table) -> pa.Table:
+        rows = t["spans"].to_pylist()
+        ids = t["doc_id"].to_pylist()
+        texts = []
+        for spans in rows:
+            toks = []
+            for s in spans or []:
+                if s["kind"] != "word":
+                    continue
+                ref = s["media_ref"][len("bbox://p"):]
+                page_s, coords = ref.split("/", 1)
+                parts = coords.split("/", 1)
+                x1, y1, x2, y2 = (int(v) for v in parts[0].split(","))
+                lid = parts[1] if len(parts) > 1 else None
+                toks.append((s["text"], int(page_s), x1, y1, x2, y2, lid))
+            texts.append(tokens_to_hocr(toks))
+        return pa.table({"doc_id": pa.array([str(i) for i in ids]),
+                         "hocr": pa.array(texts)})
+
+    ds = _corpus(sf_dir).map_batches(to_hocr, batch_format="pyarrow")
+    ds = ds.map_batches(parse_hocr_batch, batch_format="pyarrow")
+    cfg = EngineConfig(layout=LayoutConfig(layout="generic"))
+    return build_extraction_ds(ds, cfg).select_columns(
+        ["doc_id", "layout", "n_rows", "n_cols"])
+
+
+def _split_hash(sf_dir: str):
+    """O6: stable hash split, labeled rows."""
+    from ocr_table_extractor_to_csv_ray.functions.split import hash_split
+    tr, ev = hash_split(_docs(sf_dir).select_columns(["doc_id"]), eval_ratio=0.2)
+    tr = tr.map_batches(lambda t: t.append_column(
+        "split", pa.array(["train"] * t.num_rows)), batch_format="pyarrow")
+    ev = ev.map_batches(lambda t: t.append_column(
+        "split", pa.array(["eval"] * t.num_rows)), batch_format="pyarrow")
+    return tr.union(ev)
+
+
 def _doc_token_stats(sf_dir: str):
     from ocr_table_extractor_to_csv_ray.functions.textstats import token_stats_batch
     return (_docs(sf_dir)
@@ -286,6 +331,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_builder": _dataset_builder,
         "eval_generic_vs_dynamic": _eval_generic_vs_dynamic,
         "ocr_expand": _ocr_expand,
+        "hocr_parse_extract": _hocr_parse_extract,
+        "split_hash": _split_hash,
         # text analysis
         "doc_token_stats": _doc_token_stats,
         "lang_distribution": _lang_distribution,

@@ -53,6 +53,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                 while fh.read(1 << 22):
                     pass
 
+    # warm the worker pool (process spawn + library imports are per-worker
+    # one-time costs; a steady-state cluster has them amortized)
+    (rd.read_parquet(corpus_path, columns=["doc_id", "spans"])
+       .map_batches(lambda t: t.slice(0, 1), batch_format="pyarrow")
+       .count())
+
     timings: dict[str, float] = {}
 
     def timed(name, fn):

@@ -48,6 +48,7 @@ def assign_dynamic(
     lines: Sequence[Line],
     toks: TokenSOA,
     numeric_columns: Sequence[Tuple[int, int]],
+    spans_per_line=None,
 ) -> List[Record]:
     """Label = text spans left of the first numeric column; numeric spans
     → nearest interval, first-wins per cell (``assign_dynamic.py:38-72``)."""
@@ -63,12 +64,14 @@ def assign_dynamic(
 
     cols = sorted(numeric_columns, key=lambda ab: ab[0])
     first_left = cols[0][0]
+    if spans_per_line is None:
+        from .geometry import adaptive_line_spans
+        spans_per_line = adaptive_line_spans(lines, toks)
 
-    for ln in lines:
-        max_gap = line_gap_quantile(toks, ln.idx)
-        spans = merge_token_spans(toks, ln.idx, max_gap)
-        num_spans = [s for s in spans if is_num_span(s[2])]
-        txt_spans = [s for s in spans if not is_num_span(s[2])]
+    for ln, spans in zip(lines, spans_per_line):
+        num_spans, txt_spans = [], []
+        for s in spans:
+            (num_spans if is_num_span(s[2]) else txt_spans).append(s)
 
         label = " ".join(txt for (x1, _, txt) in txt_spans if x1 < first_left).strip()
         values = [""] * len(cols)
@@ -98,7 +101,7 @@ def assign_financial(
     textual joins into the label (``assign_financial.py:41-93``)."""
     records: List[Record] = []
     for ln in lines:
-        spans = merge_token_spans(toks, ln.idx, span_gap_px)
+        spans = merge_token_spans(toks, ln.idx, span_gap_px, assume_sorted=True)
         if not spans:
             records.append(
                 Record(page=ln.page, y_top=ln.y1, y_bot=ln.y2,

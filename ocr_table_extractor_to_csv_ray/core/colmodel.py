@@ -19,9 +19,10 @@ from .numeric import YEAR_RE, is_num_span
 
 
 def _percentile(vals: Sequence[float], q: float) -> float:
-    if not vals:
+    if not len(vals):
         return 0.0
-    return float(np.percentile(np.asarray(vals, dtype=float), q))
+    from .geometry import fast_percentile
+    return fast_percentile(np.asarray(vals, dtype=float), q)
 
 
 def year_headers_from_top(
@@ -41,8 +42,8 @@ def year_headers_from_top(
     candidates: List[Tuple[int, str]] = []
     for ln in lines:
         if ln.y1 <= y_thr:
-            max_gap = line_gap_quantile(toks, ln.idx)
-            for (x1, x2, txt) in merge_token_spans(toks, ln.idx, max_gap):
+            max_gap = line_gap_quantile(toks, ln.idx, assume_sorted=True)
+            for (x1, x2, txt) in merge_token_spans(toks, ln.idx, max_gap, assume_sorted=True):
                 m = YEAR_RE.search(txt)
                 if m:
                     xc = (x1 + x2) // 2
@@ -67,11 +68,17 @@ def infer_numeric_columns(
     cut_quantile: float = 90.0,
     pad_px: int = 24,
     max_cols: int = 4,
+    spans_per_line: Optional[Sequence[Sequence[Tuple[int, int, str]]]] = None,
 ) -> Tuple[List[Tuple[int, int]], Optional[List[str]]]:
     """Return (numeric column intervals, optional year header names)
-    — the full ``infer_numeric_columns_from_lines`` semantics."""
+    — the full ``infer_numeric_columns_from_lines`` semantics.
+    ``spans_per_line`` shares the adaptive-gap spans with the assigner
+    (:func:`..geometry.adaptive_line_spans`)."""
     if not lines:
         return [], None
+    if spans_per_line is None:
+        from .geometry import adaptive_line_spans
+        spans_per_line = adaptive_line_spans(lines, toks)
 
     per_line_centers: List[List[int]] = []
     y_vals = [ln.y1 for ln in lines]
@@ -79,11 +86,10 @@ def infer_numeric_columns(
     y_body_thr = y_min + 0.30 * (y_max - y_min)   # skip headers for the mode
     body_counts: List[int] = []
 
-    for ln in lines:
-        max_gap = line_gap_quantile(toks, ln.idx)
+    for ln, spans in zip(lines, spans_per_line):
         centers = [
             (x1 + x2) // 2
-            for (x1, x2, txt) in merge_token_spans(toks, ln.idx, max_gap)
+            for (x1, x2, txt) in spans
             if is_num_span(txt)
         ]
         centers.sort()

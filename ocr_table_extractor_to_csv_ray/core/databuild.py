@@ -43,6 +43,9 @@ class Example:
     table_rows: List[List[str]]
     n_rows: int = 0
     n_cols: int = 0
+    # original token index (into the input TokenSOA) per example position
+    # — lets consumers map labels back without re-running build_lines
+    token_order: List[int] = None  # type: ignore[assignment]
 
 
 def normalize_box(x1: int, y1: int, x2: int, y2: int,
@@ -169,4 +172,5 @@ def build_example(doc_id: str, toks: TokenSOA,
     return Example(doc_id=doc_id, words=words, bboxes=bboxes, labels=labels,
                    row_ids=row_ids, col_ids=col_ids, is_header=is_hdr,
                    table_header=header_row or [], table_rows=body_rows,
-                   n_rows=len(body_rows), n_cols=col_count)
+                   n_rows=len(body_rows), n_cols=col_count,
+                   token_order=[ti for ti, _r, _c in token_records])

@@ -206,16 +206,21 @@ def estimate_columns(
 
 
 def merge_token_spans(
-    toks: TokenSOA, idx: np.ndarray, max_gap_px: int
+    toks: TokenSOA, idx: np.ndarray, max_gap_px: int,
+    assume_sorted: bool = False,
 ) -> List[Tuple[int, int, str]]:
     """Merge x-adjacent tokens of one line into spans ``(x1, x2, text)``
     while the inter-token gap is <= ``max_gap_px`` (the reference's
     thrice-duplicated ``_merge_adjacent`` — ``column_model.py:29-45``,
-    ``assign_dynamic.py:21-36``, ``assign_financial.py:20-39`` — fused)."""
+    ``assign_dynamic.py:21-36``, ``assign_financial.py:20-39`` — fused).
+
+    ``assume_sorted=True`` skips the x-sort — valid for ``Line.idx``
+    (``_close_line`` sorts members by x1)."""
     if idx.size == 0:
         return []
-    order = np.argsort(toks.x1[idx], kind="stable")
-    idx = idx[order]
+    if not assume_sorted:
+        order = np.argsort(toks.x1[idx], kind="stable")
+        idx = idx[order]
     spans: List[Tuple[int, int, str]] = []
     sx1 = int(toks.x1[idx[0]])
     sx2 = int(toks.x2[idx[0]])
@@ -233,19 +238,57 @@ def merge_token_spans(
     return spans
 
 
-def line_gap_quantile(toks: TokenSOA, idx: np.ndarray, q: float = 95.0) -> int:
+def fast_percentile(a: np.ndarray, q: float) -> float:
+    """Bit-exact ``np.percentile(a, q)`` (default 'linear' method) for
+    small 1-D float arrays, without numpy's dispatch overhead — the
+    kernel calls this once per LINE, and ``np.percentile``'s ~100 µs of
+    Python machinery dominated the whole dynamic layout (profiled 68 %).
+
+    Replicates numpy's lerp exactly, including the ``t >= 0.5`` branch
+    that computes from the right endpoint (numpy ``_lerp``), so callers'
+    ``int()`` truncation sees identical values.
+    """
+    a = np.sort(a)
+    n = a.size
+    vi = (q / 100.0) * (n - 1)
+    lo = int(vi)
+    t = vi - lo
+    x = a[lo]
+    if t == 0.0:
+        return float(x)
+    y = a[lo + 1 if lo + 1 < n else n - 1]
+    d = y - x
+    return float(x + d * t) if t < 0.5 else float(y - d * (1.0 - t))
+
+
+def line_gap_quantile(toks: TokenSOA, idx: np.ndarray, q: float = 95.0,
+                      assume_sorted: bool = False) -> int:
     """Per-line adaptive span gap: the q-th percentile of positive
     inter-token gaps, floored at 12, default 18 when there is no gap
     (reference ``column_model.py:18-27`` ≡ ``assign_dynamic.py:12-19``)."""
     if idx.size < 2:
         return 18
-    order = np.argsort(toks.x1[idx], kind="stable")
-    idx = idx[order]
+    if not assume_sorted:
+        order = np.argsort(toks.x1[idx], kind="stable")
+        idx = idx[order]
     gaps = toks.x1[idx][1:] - toks.x2[idx][:-1]
     gaps = gaps[gaps > 0]
     if gaps.size == 0:
         return 18
-    return max(12, int(np.percentile(gaps.astype(float), q)))
+    return max(12, int(fast_percentile(gaps.astype(float), q)))
+
+
+def adaptive_line_spans(lines: Sequence[Line], toks: TokenSOA
+                        ) -> List[List[Tuple[int, int, str]]]:
+    """Per-line spans with the per-line adaptive gap — computed ONCE and
+    shared between the dynamic column model and the dynamic assigner
+    (the reference recomputes the identical spans in both,
+    ``column_model.py:110-117`` and ``assign_dynamic.py:50-55``)."""
+    out = []
+    for ln in lines:
+        gap = line_gap_quantile(toks, ln.idx, assume_sorted=True)
+        out.append(merge_token_spans(toks, ln.idx, gap, assume_sorted=True))
+    return out
 
 
 def nearest_interval(xc: float, intervals: Sequence[Tuple[int, int]]) -> int:

@@ -86,14 +86,17 @@ def extract_document(toks: TokenSOA, cfg: LayoutConfig) -> DocResult:
         return DocResult(header=["Cuenta", "Valor_1", "Valor_2"], rows=rows)
 
     if layout == "dynamic":
+        from .geometry import adaptive_line_spans
+        spans_per_line = adaptive_line_spans(lines, toks)   # shared, computed once
         intervals, names = infer_numeric_columns(
             lines, toks,
             min_sep_px=cfg.min_sep_px,
             cut_quantile=cfg.cut_quantile,
             pad_px=cfg.pad_px,
             max_cols=cfg.max_numeric_cols,
+            spans_per_line=spans_per_line,
         )
-        records = assign_dynamic(lines, toks, intervals)
+        records = assign_dynamic(lines, toks, intervals, spans_per_line=spans_per_line)
         rows = merge_financial_rows(records, cfg.row_merge_factor)
         if not rows:
             return DocResult()

@@ -111,6 +111,7 @@ def extract_batch(tbl: pa.Table, cfg: LayoutConfig) -> pa.Table:
     numeric_out: List[List[Tuple[str, str, str, int]]] = []
     n_rows = np.zeros(n, dtype=np.int32)
     n_cols = np.zeros(n, dtype=np.int32)
+    errors: List[str] = [""] * n
     emit_numeric = cfg.layout == "dynamic"
 
     for i in range(n):
@@ -125,7 +126,13 @@ def extract_batch(tbl: pa.Table, cfg: LayoutConfig) -> pa.Table:
             y2=toks.y2[sl],
             line_id=toks.line_id[sl] if has_lid[sl].any() else None,
         )
-        res: DocResult = extract_document(doc, cfg)
+        try:
+            res: DocResult = extract_document(doc, cfg)
+        except Exception as exc:  # noqa: BLE001
+            # a malformed document must not poison its whole block
+            # (SURVEY.md §4.2 retries row): emit an empty result + error
+            res = DocResult()
+            errors[i] = f"{type(exc).__name__}: {exc}"[:200]
         span_out.append(grid_to_spans(res.header, res.rows))
         if emit_numeric:
             numeric_out.append(
@@ -141,6 +148,7 @@ def extract_batch(tbl: pa.Table, cfg: LayoutConfig) -> pa.Table:
         "layout": pa.array([cfg.layout] * n, pa.string()),
         "n_rows": pa.array(n_rows),
         "n_cols": pa.array(n_cols),
+        "error": pa.array(errors, pa.string()),
         "spans": make_span_column(span_out),
     }
     if emit_numeric:

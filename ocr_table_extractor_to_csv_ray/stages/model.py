@@ -60,14 +60,9 @@ class LayoutScorerStage:
         ex = build_example(doc_id, toks, max_columns=self.cfg.max_model_columns)
         if ex is None:
             return ["OTHER"] * len(toks)
-        # build_example walks lines in order; map labels back to token order
         labels = ["OTHER"] * len(toks)
-        lines = build_lines(toks)
-        pos = 0
-        for ln in lines:
-            for ti in ln.idx:
-                labels[int(ti)] = ex.labels[pos]
-                pos += 1
+        for ti, lab in zip(ex.token_order, ex.labels):
+            labels[ti] = lab
         return labels
 
     def __call__(self, batch: pa.Table) -> pa.Table:

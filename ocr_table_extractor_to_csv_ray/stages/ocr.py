@@ -89,7 +89,13 @@ class OcrStage:
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         spans_col = batch["spans"].combine_chunks() if isinstance(batch["spans"], pa.ChunkedArray) else batch["spans"]
+        # vectorized fast path: batches with no media rows pass through
+        # untouched (most of an interleaved corpus is text-only)
+        kinds = spans_col.flatten().field("kind")
+        if pc.sum(pc.cast(pc.equal(kinds, KIND_MEDIA), pa.int64())).as_py() in (0, None):
+            return batch
         rows = spans_col.to_pylist()
         new_rows = []
         for spans in rows:

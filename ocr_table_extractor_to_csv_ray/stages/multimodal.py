@@ -1,0 +1,179 @@
+"""Multimodal column stages: opaque binary media + typed metadata.
+
+Media travel through the engine as ``binary`` columns (or ``media_ref``
+pointers) plus typed metadata — NEVER decoded inside geometry stages
+(SURVEY.md §7.3.6). Decode / resize / feature-extract / frame-sample
+are actor-pool ``map_batches`` stages with small ``batch_size`` (decoded
+frames are ~3 orders of magnitude larger than their source bytes, so
+``batch_size × concurrency × frame_bytes`` must fit the worker heap).
+
+The image/audio codec libraries are NOT in this container, so each
+stage's ``__init__`` probes for the real backend (PIL / soundfile) and
+otherwise uses a DETERMINISTIC FAKE decoder (pure function of the
+payload bytes) — clearly marked below. The Ray-side plumbing (schema,
+actor signature, batch sizing, output layout) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+
+def _fake_pixels(payload: bytes, h: int, w: int) -> np.ndarray:
+    """Deterministic fake decode: seed an RNG from the payload digest.
+    Stands in for a real JPEG/PNG decode (same shape/dtype contract)."""
+    seed = int.from_bytes(hashlib.blake2b(payload or b"", digest_size=8).digest(), "little")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+class ImageDecodeStage:
+    """``(media_id, payload: binary)`` → + ``pixels`` (flattened uint8)
+    + ``height/width/channels`` metadata columns."""
+
+    def __init__(self, height: int = 64, width: int = 64) -> None:
+        self.h, self.w = height, width
+        try:  # pragma: no cover — PIL absent in this container
+            from PIL import Image
+            # a real PIL exposes a callable open() (test stubs don't)
+            self._backend = "pil" if callable(getattr(Image, "open", None)) else "fake"
+        except ImportError:
+            self._backend = "fake"
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if self._backend == "pil":  # pragma: no cover
+            raise NotImplementedError(
+                "real decode: PIL.Image.open(io.BytesIO(payload)).convert('RGB')")
+        return _fake_pixels(payload, self.h, self.w)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        n = len(payloads)
+        px = np.empty((n, self.h * self.w * 3), dtype=np.uint8)
+        for i, p in enumerate(payloads):
+            px[i] = self._decode(p or b"").reshape(-1)
+        out = batch
+        pixels = pa.FixedSizeListArray.from_arrays(
+            pa.array(px.reshape(-1)), self.h * self.w * 3)
+        for name, col in (
+            ("pixels", pixels),
+            ("height", pa.array([self.h] * n, pa.int32())),
+            ("width", pa.array([self.w] * n, pa.int32())),
+            ("channels", pa.array([3] * n, pa.int32())),
+        ):
+            if name in out.column_names:
+                out = out.drop_columns([name])
+            out = out.append_column(name, col)
+        return out
+
+
+class ImageResizeStage:
+    """Nearest-neighbor resize of decoded ``pixels`` — REAL vectorized
+    math (no codec needed): index-grid gather per batch."""
+
+    def __init__(self, out_h: int = 16, out_w: int = 16) -> None:
+        self.oh, self.ow = out_h, out_w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch
+        h = batch["height"][0].as_py()
+        w = batch["width"][0].as_py()
+        col = batch["pixels"].combine_chunks() if isinstance(batch["pixels"], pa.ChunkedArray) else batch["pixels"]
+        flat = np.asarray(col.values.to_numpy(zero_copy_only=False), dtype=np.uint8)
+        imgs = flat.reshape(n, h, w, 3)
+        ys = (np.arange(self.oh) * h // self.oh)
+        xs = (np.arange(self.ow) * w // self.ow)
+        small = imgs[:, ys[:, None], xs[None, :], :]          # gather, vectorized
+        out_flat = small.reshape(n, -1)
+        out = batch.drop_columns(["pixels", "height", "width"])
+        out = out.append_column("pixels", pa.FixedSizeListArray.from_arrays(
+            pa.array(out_flat.reshape(-1)), self.oh * self.ow * 3))
+        out = out.append_column("height", pa.array([self.oh] * n, pa.int32()))
+        out = out.append_column("width", pa.array([self.ow] * n, pa.int32()))
+        return out
+
+
+class ImageFeatureStage:
+    """Decoded pixels → feature vector. REAL features (channel means /
+    stds + 8-bin luma histogram), vectorized over the batch — a model
+    embedding would slot in here with identical plumbing."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch
+        h = batch["height"][0].as_py()
+        w = batch["width"][0].as_py()
+        col = batch["pixels"].combine_chunks() if isinstance(batch["pixels"], pa.ChunkedArray) else batch["pixels"]
+        flat = np.asarray(col.values.to_numpy(zero_copy_only=False), dtype=np.float32)
+        imgs = flat.reshape(n, h * w, 3)
+        means = imgs.mean(axis=1)                              # (n, 3)
+        stds = imgs.std(axis=1)                                # (n, 3)
+        luma = imgs.mean(axis=2)                               # (n, h*w)
+        bins = np.stack([np.histogram(row, bins=8, range=(0, 256))[0]
+                         for row in luma]).astype(np.float32)
+        bins /= np.maximum(bins.sum(axis=1, keepdims=True), 1)
+        feats = np.concatenate([means / 255.0, stds / 255.0, bins], axis=1)
+        out = batch
+        if "features" in out.column_names:
+            out = out.drop_columns(["features"])
+        return out.append_column("features", pa.FixedSizeListArray.from_arrays(
+            pa.array(feats.reshape(-1)), feats.shape[1]))
+
+
+class FrameSampleStage:
+    """Video → every k-th frame as one row (``flat_map`` shape: one
+    input row yields ``n_frames`` output rows). The container decode is
+    stubbed (deterministic frame count from the payload); the row
+    explosion, ordering metadata and downstream compatibility with
+    :class:`ImageDecodeStage` are real."""
+
+    def __init__(self, every_k: int = 10, max_frames: int = 8) -> None:
+        self.k = every_k
+        self.max_frames = max_frames
+        try:  # pragma: no cover
+            import av  # noqa: F401
+            self._backend = "pyav"
+        except ImportError:
+            self._backend = "fake"
+
+    def _frame_count(self, payload: bytes) -> int:
+        if self._backend == "pyav":  # pragma: no cover
+            raise NotImplementedError("real path: av.open(BytesIO(payload))")
+        digest = hashlib.blake2b(payload or b"", digest_size=2).digest()
+        return 30 + int.from_bytes(digest, "little") % 270     # 30..299 frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        o_id, o_frame, o_payload = [], [], []
+        for mid, p in zip(ids, payloads):
+            total = self._frame_count(p or b"")
+            taken = list(range(0, total, self.k))[: self.max_frames]
+            for f in taken:
+                o_id.append(mid)
+                o_frame.append(f)
+                # fake per-frame payload: parent bytes + frame index tag
+                o_payload.append((p or b"") + f":{f}".encode())
+        return pa.table({
+            "media_id": pa.array(o_id, batch.schema.field("media_id").type),
+            "frame_no": pa.array(o_frame, pa.int32()),
+            "payload": pa.array(o_payload, pa.binary()),
+        })
+
+
+def decode_pipeline(ds, decode_concurrency: int = 4, batch_size: int = 32,
+                    height: int = 64, width: int = 64):
+    """media table → decoded + featured. Small batches: decoded pixels
+    are ``h*w*3`` bytes/row — size ``batch_size × concurrency`` to heap."""
+    ds = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
+                        fn_constructor_kwargs={"height": height, "width": width},
+                        batch_size=batch_size, concurrency=decode_concurrency)
+    return ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=2)

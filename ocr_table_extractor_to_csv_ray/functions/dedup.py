@@ -186,6 +186,48 @@ def _collect_pairs(pairs_ds) -> pd.DataFrame:
     return df.drop_duplicates()
 
 
+def _dup_bucket_rows(banded, key_cols: List[str]) -> pd.DataFrame:
+    """Rows of ``banded`` that share a bucket with at least one other row.
+
+    Two cheap passes instead of a per-bucket ``map_groups`` (which costs
+    one Python task per bucket — with mostly-singleton buckets that is
+    O(corpus) tiny tasks):
+      1. Arrow-native ``groupby.count()`` → the (small) set of buckets
+         with ≥ 2 members;
+      2. broadcast that key set, vectorized filter of ``banded``.
+    The surviving rows (≪ corpus for any sane threshold) come to the
+    driver for pairing/verification.
+    """
+    import ray
+
+    counts = banded.groupby(key_cols).count()
+    cnt_col = [c for c in counts.schema().names if c not in key_cols][0]
+    dup_keys = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t[cnt_col], pa.scalar(2))),
+        batch_format="pyarrow").to_pandas()
+    if len(dup_keys) == 0:
+        return pd.DataFrame()
+    keyset = set(zip(*(dup_keys[c] for c in key_cols)))
+    key_ref = ray.put(keyset)
+
+    def _filter(t: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        cols = [t[c].to_pylist() for c in key_cols]
+        mask = [tup in ks for tup in zip(*cols)]
+        return t.filter(pa.array(mask))
+
+    return banded.map_batches(_filter, batch_format="pyarrow").to_pandas()
+
+
+def _pairs_from_dup_rows(rows: pd.DataFrame, key_cols: List[str]) -> pd.DataFrame:
+    """Driver-side pairing over the (small) duplicate-bucket rows."""
+    if len(rows) == 0:
+        return pd.DataFrame({"left": [], "right": []})
+    out = [_pairs_from_group(g) for _, g in rows.groupby(key_cols)]
+    pairs = pd.concat(out, ignore_index=True) if out else pd.DataFrame({"left": [], "right": []})
+    return pairs.drop_duplicates()
+
+
 class UnionFind:
     def __init__(self) -> None:
         self.parent: Dict = {}
@@ -224,19 +266,23 @@ def minhash_lsh_dedup(ds, n_perm: int = 128, n_bands: int = 16, k: int = 3,
     """
     import functools
 
+    # materialized: the signature set is consumed three times (banding,
+    # bucket counting, candidate verify) and re-deriving it means
+    # re-shingling the whole corpus each time. ~1 KB/doc (n_perm × 8 B);
+    # at a scale where that outgrows the object store, checkpoint to
+    # parquet instead — the pipeline shape is unchanged.
     sigs = ds.select_columns(["doc_id", "text"]).map_batches(
         MinHashStage, batch_format="pyarrow",
         fn_constructor_kwargs={"n_perm": n_perm, "k": k, "seed": seed},
         concurrency=concurrency,
-    )
+    ).materialize()
     banded = sigs.select_columns(["doc_id", "minhash"]).map_batches(
         functools.partial(explode_bands_batch, n_bands=n_bands),
         batch_format="pyarrow",
     )
-    pairs_ds = banded.groupby(["band", "band_key"]).map_groups(
-        _pairs_from_group, batch_format="pandas"
-    )
-    pairs = _collect_pairs(pairs_ds)  # candidate pairs: small by design
+    dup_rows = _dup_bucket_rows(banded.select_columns(["band", "band_key", "doc_id"]),
+                                ["band", "band_key"])
+    pairs = _pairs_from_dup_rows(dup_rows, ["band", "band_key"])
 
     # verify candidates by signature-estimated Jaccard (broadcast sigs of
     # candidate docs only)
@@ -304,15 +350,13 @@ def ngram_jaccard_dedup(ds, k: int = 3, threshold: float = 0.7,
         MinHashStage, batch_format="pyarrow",
         fn_constructor_kwargs={"n_perm": n_perm, "k": k, "seed": seed},
         concurrency=4,
-    )
+    ).materialize()
     banded = sigs.select_columns(["doc_id", "minhash"]).map_batches(
         functools.partial(explode_bands_batch, n_bands=n_bands),
         batch_format="pyarrow",
     )
-    pairs = _collect_pairs(
-        banded.groupby(["band", "band_key"]).map_groups(
-            _pairs_from_group, batch_format="pandas")
-    )
+    dup_rows = _dup_bucket_rows(banded, ["band", "band_key"])
+    pairs = _pairs_from_dup_rows(dup_rows, ["band", "band_key"])
     verified: List[Tuple] = []
     if len(pairs):
         cand_ids = sorted(set(pairs["left"]).union(pairs["right"]))
@@ -394,19 +438,18 @@ def simhash_dedup(ds, max_hamming: int = 3, concurrency: int = 4):
 
     banded = fps.select_columns(["doc_id", "simhash"]).map_batches(_bands, batch_format="pyarrow")
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"left": [], "right": []}, dtype=ids.dtype)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = [hamming64(hs[i], hs[j]) <= max_hamming for i, j in zip(iu, ju)]
-        return pd.DataFrame({"left": ids[iu][keep], "right": ids[ju][keep]})
-
-    pairs = _collect_pairs(
-        banded.groupby(["band", "band_key"]).map_groups(_pairs, batch_format="pandas"))
-    cluster = clusters_from_pairs(zip(pairs["left"], pairs["right"]))
+    dup_rows = _dup_bucket_rows(banded, ["band", "band_key"])
+    verified = []
+    if len(dup_rows):
+        for _, g in dup_rows.groupby(["band", "band_key"]):
+            g = g.sort_values("doc_id")
+            ids = g["doc_id"].to_numpy()
+            hs = g["simhash"].to_numpy()
+            iu, ju = np.triu_indices(len(ids), k=1)
+            for i, j in zip(iu, ju):
+                if hamming64(hs[i], hs[j]) <= max_hamming:
+                    verified.append((ids[i], ids[j]))
+    cluster = clusters_from_pairs(set(verified))
     drop = {d for d, c in cluster.items() if d != c}
     if drop:
         def _filter(t: pa.Table) -> pa.Table:
@@ -452,20 +495,18 @@ def embedding_neardup(ds, threshold: float = 0.97, n_planes: int = 14,
 
     bucketed = ds.select_columns([id_column, vec_column]).map_batches(_bucket, batch_format="pyarrow")
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_column)
-        ids = g[id_column].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"left": [], "right": []}, dtype=ids.dtype)
-        mat = np.stack([np.asarray(u, dtype=np.float32) for u in g["unit"]])
-        sim = mat @ mat.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = sim[iu, ju] >= threshold
-        return pd.DataFrame({"left": ids[iu][keep], "right": ids[ju][keep]})
-
-    pairs = _collect_pairs(
-        bucketed.groupby("bucket").map_groups(_pairs, batch_format="pandas"))
-    cluster = clusters_from_pairs(zip(pairs["left"], pairs["right"]))
+    dup_rows = _dup_bucket_rows(bucketed, ["bucket"])
+    verified = []
+    if len(dup_rows):
+        for _, g in dup_rows.groupby("bucket"):
+            g = g.sort_values(id_column)
+            ids = g[id_column].to_numpy()
+            mat = np.stack([np.asarray(u, dtype=np.float32) for u in g["unit"]])
+            sim = mat @ mat.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            for i, j in zip(iu[sim[iu, ju] >= threshold], ju[sim[iu, ju] >= threshold]):
+                verified.append((ids[i], ids[j]))
+    cluster = clusters_from_pairs(set(verified))
     drop = {d for d, c in cluster.items() if d != c}
     if drop:
         def _filter(t: pa.Table) -> pa.Table:

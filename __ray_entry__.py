@@ -310,6 +310,57 @@ def _events_hourly(sf_dir: str):
               .aggregate(Sum("n", alias_name="n_events")))
 
 
+def _join_doc_labels(sf_dir: str):
+    """Broadcast join: documents enriched with the embeddings table's
+    label (small side via ray.put, no shuffle)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from ocr_table_extractor_to_csv_ray.functions.join import broadcast_join
+
+    small = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "label"]).to_pandas()
+    small = small.rename(columns={"vec_id": "doc_id"})
+    small["label"] = small["label"].astype("int64")
+    out = broadcast_join(_docs(sf_dir).select_columns(["doc_id"]), small, "doc_id")
+    return out
+
+
+def _events_sessions(sf_dir: str):
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.join import sessionize
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    return sessionize(ev, gap_seconds=1800)
+
+
+def _events_type_value(sf_dir: str):
+    import ray.data as rd
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        # per-row floor(value*100) is deterministic IEEE in any engine;
+        # the subsequent integer sum is order-independent
+        cents = pc.cast(pc.floor(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64())
+        g = (t.drop_columns(["value"]).append_column("cents", cents)
+              .group_by("event_type")
+              .aggregate([("cents", "sum"), ("cents", "count")]))
+        return pa.table({
+            "event_type": g["event_type"],
+            "cents": pc.cast(g["cents_sum"], pa.int64()),
+            "n": pc.cast(g["cents_count"], pa.int64()),
+        })
+
+    return (ev.map_batches(partial, batch_format="pyarrow")
+              .groupby("event_type")
+              .aggregate(Sum("cents", alias_name="total_cents"),
+                         Sum("n", alias_name="n_events")))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -350,6 +401,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity
         "knn_cosine": _knn_cosine,
         "knn_ivf": _knn_ivf,
+        # joins + windows
+        "join_doc_labels": _join_doc_labels,
+        "events_sessions": _events_sessions,
+        "events_type_value": _events_type_value,
         # events
         "events_hourly": _events_hourly,
     }
@@ -393,5 +448,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
                    count(*) AS n_events
             FROM events GROUP BY user_id, hour_id
+        """,
+        "join_doc_labels": """
+            SELECT d.doc_id, CAST(e.label AS BIGINT) AS label
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        """,
+        "events_sessions": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+            g AS (SELECT user_id, t,
+                         CASE WHEN lag(t) OVER w IS NULL
+                                   OR t - lag(t) OVER w > 1800000000
+                              THEN 1 ELSE 0 END AS new_sess
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+            s AS (SELECT user_id, t,
+                         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                                             ROWS UNBOUNDED PRECEDING) AS session_id
+                  FROM g)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   min(t) AS session_start, max(t) AS session_end
+            FROM s GROUP BY user_id, session_id
+        """,
+        "events_type_value": """
+            SELECT event_type,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
         """,
     }

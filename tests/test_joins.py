@@ -1,0 +1,56 @@
+"""Broadcast join, sessionize, stem pairing (J2), pair dedup (A4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ocr_table_extractor_to_csv_ray.functions.join import (
+    broadcast_join, dedup_pairs, pair_by_stem, sessionize)
+
+
+def test_pair_by_stem():
+    imgs = ["/a/doc1.png", "/a/doc2.jpg", "/a/lonely.png"]
+    hocrs = ["/h/doc2.hocr", "/h/doc1.hocr", "/h/extra.hocr"]
+    assert pair_by_stem(imgs, hocrs) == [
+        ("/a/doc1.png", "/h/doc1.hocr"),
+        ("/a/doc2.jpg", "/h/doc2.hocr"),
+    ]
+
+
+def test_dedup_pairs(tmp_path):
+    a = tmp_path / "a.png"; a.write_bytes(b"x")
+    b = tmp_path / "b.hocr"; b.write_bytes(b"y")
+    pairs = [(str(a), str(b)), (str(a), str(b)), (str(tmp_path / "." / "a.png"), str(b))]
+    assert dedup_pairs(pairs) == [(str(a), str(b))]
+
+
+def test_broadcast_join(ray_session):
+    import ray.data as rd
+    big = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3, 2], pa.int64()),
+                                  "v": pa.array(list("abcd"))}))
+    small = pd.DataFrame({"k": [1, 2], "tag": ["one", "two"]})
+    out = broadcast_join(big, small, "k").to_pandas().sort_values(["k", "v"])
+    assert list(out["tag"]) == ["one", "two", "two"]
+    left = broadcast_join(big, small, "k", how="left").to_pandas()
+    assert len(left) == 4
+
+
+def test_sessionize_semantics(ray_session):
+    import ray.data as rd
+    us = 1_000_000
+    t0 = 1_700_000_000 * us
+    rows = {
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([t0, t0 + 60 * us, t0 + 4000 * us, t0 + 4100 * us, t0],
+                       pa.timestamp("us")),
+    }
+    out = (sessionize(rd.from_arrow(pa.table(rows)), gap_seconds=1800)
+           .to_pandas().sort_values(["user_id", "session_id"]).reset_index(drop=True))
+    # user 1: two sessions (gap 3940 s > 1800 s), user 2: one
+    assert list(out["user_id"]) == [1, 1, 2]
+    assert list(out["n_events"]) == [2, 2, 1]
+    assert out.loc[0, "session_start"] == t0
+    assert out.loc[0, "session_end"] == t0 + 60 * us
+    assert out.loc[1, "session_start"] == t0 + 4000 * us

@@ -110,7 +110,8 @@ def build_example(doc_id: str, toks: TokenSOA,
                   page_w: int = 2000, page_h: int = 2600,
                   expected_n_cols: Optional[int] = None,
                   header_regexes: Optional[Sequence[str]] = None,
-                  max_columns: int = 6) -> Optional[Example]:
+                  max_columns: int = 6,
+                  compute_boxes: bool = True) -> Optional[Example]:
     """Build one teacher-labeled example (``dataset_builder.py:167-265``).
 
     Returns ``None`` where the reference raises (no tokens / lines /
@@ -134,9 +135,10 @@ def build_example(doc_id: str, toks: TokenSOA,
         r: [[] for _ in range(col_count)] for r in range(row_count)
     }
     token_records: List[Tuple[int, int, Optional[int]]] = []  # (tok_idx, row, col)
+    xc = toks.xc                      # ONCE — the property builds a new array
     for ln, row_idx in zip(lines, line_to_row):
         for ti in ln.idx:
-            col_idx = find_column_index_db(float(toks.xc[ti]), col_intervals)
+            col_idx = find_column_index_db(float(xc[ti]), col_intervals)
             token_records.append((int(ti), row_idx, col_idx))
             if row_idx in cells and col_idx is not None and col_idx < col_count:
                 cells[row_idx][col_idx].append(toks.text[ti])
@@ -154,12 +156,9 @@ def build_example(doc_id: str, toks: TokenSOA,
                 header_idx = i
                 break
 
-    words, bboxes, labels, row_ids, col_ids, is_hdr = [], [], [], [], [], []
+    words, labels, row_ids, col_ids, is_hdr = [], [], [], [], []
     for ti, row_idx, col_idx in token_records:
         words.append(toks.text[ti])
-        bboxes.append(normalize_box(int(toks.x1[ti]), int(toks.y1[ti]),
-                                    int(toks.x2[ti]), int(toks.y2[ti]),
-                                    page_w, page_h))
         row_ids.append(row_idx if row_idx is not None else -1)
         col_ids.append(col_idx if col_idx is not None else -1)
         h = header_idx is not None and row_idx == header_idx
@@ -168,6 +167,17 @@ def build_example(doc_id: str, toks: TokenSOA,
             labels.append("OTHER")
         else:
             labels.append(f"{'HEADER' if h else 'BODY'}_COL_{col_idx}")
+
+    bboxes: List[List[int]] = []
+    if compute_boxes:
+        # vectorized normalize (same round-half-even as python round())
+        order = np.array([ti for ti, _r, _c in token_records], dtype=np.int64)
+        w, h = max(page_w, 1), max(page_h, 1)
+        cols4 = []
+        for arr, denom in ((toks.x1, w), (toks.y1, h), (toks.x2, w), (toks.y2, h)):
+            cols4.append(np.clip(np.round(1000.0 * arr[order] / denom), 0, 1000)
+                         .astype(np.int64))
+        bboxes = np.stack(cols4, axis=1).tolist()
 
     return Example(doc_id=doc_id, words=words, bboxes=bboxes, labels=labels,
                    row_ids=row_ids, col_ids=col_ids, is_header=is_hdr,

@@ -57,7 +57,8 @@ class LayoutScorerStage:
             self._backend = "teacher-stub"
 
     def _score_doc(self, doc_id: str, toks: TokenSOA) -> List[str]:
-        ex = build_example(doc_id, toks, max_columns=self.cfg.max_model_columns)
+        ex = build_example(doc_id, toks, max_columns=self.cfg.max_model_columns,
+                           compute_boxes=False)   # labels only — skip box math
         if ex is None:
             return ["OTHER"] * len(toks)
         labels = ["OTHER"] * len(toks)

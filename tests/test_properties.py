@@ -1,0 +1,68 @@
+"""Pipeline-level invariants (SURVEY.md §5.2.3)."""
+
+from __future__ import annotations
+
+import functools
+
+import pyarrow as pa
+
+from ocr_table_extractor_to_csv_ray.config import EngineConfig, LayoutConfig
+from ocr_table_extractor_to_csv_ray.stages.extract import extract_batch
+
+
+def _spans_by_doc(ds):
+    return {r["doc_id"]: r["spans"] for r in ds.take_all()}
+
+
+def test_every_doc_appears_exactly_once(ray_session, corpus_dir):
+    """Empty documents included (main.py:100-109: empty CSV, never a
+    dropped file)."""
+    import ray.data as rd
+    ds = rd.read_parquet(corpus_dir, columns=["doc_id", "spans"])
+    out = ds.map_batches(
+        functools.partial(extract_batch, cfg=LayoutConfig(layout="generic")),
+        batch_format="pyarrow")
+    ids = [r["doc_id"] for r in out.select_columns(["doc_id"]).take_all()]
+    assert len(ids) == 200 and len(set(ids)) == 200
+
+
+def test_output_invariant_under_repartition(ray_session, corpus_dir):
+    import ray.data as rd
+    cfg = LayoutConfig(layout="dynamic")
+    base = rd.read_parquet(corpus_dir, columns=["doc_id", "spans"])
+    a = _spans_by_doc(base.map_batches(
+        functools.partial(extract_batch, cfg=cfg), batch_format="pyarrow"))
+    for nblocks in (1, 7, 64):
+        b = _spans_by_doc(
+            rd.read_parquet(corpus_dir, columns=["doc_id", "spans"])
+              .repartition(nblocks)
+              .map_batches(functools.partial(extract_batch, cfg=cfg),
+                           batch_format="pyarrow", batch_size=13))
+        assert a == b, nblocks
+
+
+def test_output_invariant_under_shuffled_input(ray_session, corpus_dir):
+    """Row order across the corpus is irrelevant — each document's span
+    sequence carries its own explicit order field."""
+    import ray.data as rd
+    cfg = LayoutConfig(layout="financial")
+    a = _spans_by_doc(
+        rd.read_parquet(corpus_dir, columns=["doc_id", "spans"])
+          .map_batches(functools.partial(extract_batch, cfg=cfg),
+                       batch_format="pyarrow"))
+    b = _spans_by_doc(
+        rd.read_parquet(corpus_dir, columns=["doc_id", "spans"])
+          .random_shuffle(seed=11)
+          .map_batches(functools.partial(extract_batch, cfg=cfg),
+                       batch_format="pyarrow"))
+    assert a == b
+
+
+def test_span_offsets_are_contiguous_reading_order(corpus_200):
+    out = extract_batch(corpus_200, LayoutConfig(layout="generic"))
+    for spans in out["spans"].to_pylist():
+        offs = [s["offset"] for s in spans]
+        assert offs == list(range(len(offs)))
+        # rows terminate: last span (if any) is a row_end
+        if spans:
+            assert spans[-1]["kind"] == "row_end"

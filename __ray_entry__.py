@@ -73,6 +73,59 @@ def _extract_text_render(sf_dir: str):
     return out.select_columns(["doc_id", "layout", "n_rows", "n_cols"])
 
 
+def _extract_knobs(sf_dir: str):
+    """§2.11 knob surface: forced column count + table_bbox crop +
+    header regexes, all in one run."""
+    from ocr_table_extractor_to_csv_ray.config import EngineConfig, LayoutConfig
+    from ocr_table_extractor_to_csv_ray.pipelines.extract import build_extraction_ds
+    cfg = EngineConfig(layout=LayoutConfig(
+        layout="generic", expected_n_cols=4,
+        table_bbox=(0, 0, 2000, 2400),
+        header_regexes=("concepto", "descripcion")))
+    out = build_extraction_ds(_corpus(sf_dir), cfg)
+    return out.select_columns(["doc_id", "n_rows", "n_cols"])
+
+
+def _extract_resumable(sf_dir: str):
+    """Sharded resumable pipeline; returns the per-shard lineage table
+    (shard_id, doc_count, row_count) — the checkpoint the restart reads."""
+    import pandas as pd
+    import shutil
+    from ocr_table_extractor_to_csv_ray.pipelines.extract import (
+        generate_corpus, run_extraction_resumable)
+    from ocr_table_extractor_to_csv_ray.state import lineage
+    n = _corpus_docs_for(sf_dir)
+    # sharded-file layout so the lineage table actually has 4 shards
+    src = generate_corpus(f"/tmp/graft_corpus/r{n}", n,
+                          docs_per_block=max(1, n // 8))
+    out_dir = f"/tmp/graft_resumable/n{n}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    run_extraction_resumable(src, out_dir, num_shards=4)
+    recs = [lineage.load_record(out_dir, s) for s in range(4)]
+    return pd.DataFrame([{"shard_id": r.shard_id, "doc_count": r.doc_count,
+                          "row_count": r.row_count} for r in recs if r])
+
+
+def _multimodal_features(sf_dir: str):
+    """Media refs from the corpus → (stub) decode → feature vectors."""
+    import pyarrow.compute as pc
+    from ocr_table_extractor_to_csv_ray.stages.multimodal import decode_pipeline
+
+    def media_rows(t: pa.Table) -> pa.Table:
+        flat = t["spans"].combine_chunks().flatten()
+        m = pc.equal(flat.field("kind"), "media")
+        refs = flat.field("media_ref").filter(m)
+        return pa.table({
+            "media_id": refs,
+            "payload": pa.array([r.encode() for r in refs.to_pylist()], pa.binary()),
+        })
+
+    media = _corpus(sf_dir).map_batches(media_rows, batch_format="pyarrow")
+    out = decode_pipeline(media, decode_concurrency=2, batch_size=32,
+                          height=32, width=32)
+    return out.select_columns(["media_id", "height", "width", "channels"])
+
+
 def _dataset_builder(sf_dir: str):
     from ocr_table_extractor_to_csv_ray.pipelines.databuild import build_dataset
     out = build_dataset(_corpus(sf_dir))
@@ -384,6 +437,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ocr_expand": _ocr_expand,
         "hocr_parse_extract": _hocr_parse_extract,
         "split_hash": _split_hash,
+        "extract_knobs": _extract_knobs,
+        "extract_resumable": _extract_resumable,
+        "multimodal_features": _multimodal_features,
         # text analysis
         "doc_token_stats": _doc_token_stats,
         "lang_distribution": _lang_distribution,

@@ -1,0 +1,110 @@
+"""Knob-variant goldens + hypothesis fuzzing vs the executed reference.
+
+The deterministic corpus exercises realistic documents; the fuzzer
+throws adversarial token soups (overlaps, zero-ish sizes, dense packs)
+at every layout and demands span equality with the reference code.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from ocr_table_extractor_to_csv_ray.config import LayoutConfig
+from ocr_table_extractor_to_csv_ray.core.spans import spans_to_grid
+from ocr_table_extractor_to_csv_ray.sources.synthetic import SPAN_TYPE, corpus_table
+from ocr_table_extractor_to_csv_ray.stages.extract import extract_batch
+
+from refimpl import ref_extract
+
+import pyarrow as pa
+
+
+def _engine_grid(tbl, cfg):
+    out = extract_batch(tbl, cfg)
+    res = []
+    numeric_col = out["spans_numeric"].to_pylist() if "spans_numeric" in out.column_names else None
+    for i, lst in enumerate(out["spans"].to_pylist()):
+        g = spans_to_grid([(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in lst])
+        gn = None
+        if numeric_col is not None:
+            gn = spans_to_grid([(s["kind"], s["text"], s["media_ref"], s["offset"])
+                                for s in numeric_col[i]])
+        res.append((g, gn))
+    return res
+
+
+# ---------------------------------------------------------------------------
+# knob variants on the deterministic corpus
+
+@pytest.mark.parametrize("kwargs", [
+    {"expected_n_cols": 4},
+    {"expected_n_cols": 2},
+    {"expected_n_cols": 7},
+    {"header_regexes": ("concepto", "descripcion|importe")},
+    {"table_bbox": (0, 0, 1500, 2000)},
+    {"table_bbox": (200, 150, 1900, 2500), "expected_n_cols": 3},
+])
+def test_generic_knobs_match_reference(corpus_200, kwargs):
+    cfg = LayoutConfig(layout="generic",
+                       expected_n_cols=kwargs.get("expected_n_cols"),
+                       header_regexes=kwargs.get("header_regexes"),
+                       table_bbox=kwargs.get("table_bbox"))
+    sample = corpus_200.slice(0, 60)
+    grids = _engine_grid(sample, cfg)
+    for i in range(sample.num_rows):
+        doc = sample.slice(i, 1).to_pylist()[0]
+        rh, rr, _ = ref_extract(
+            doc["spans"], "generic",
+            table_bbox=kwargs.get("table_bbox"),
+            expected_n_cols=kwargs.get("expected_n_cols"),
+            header_regexes=list(kwargs["header_regexes"]) if "header_regexes" in kwargs else None)
+        (eh, er), _ = grids[i]
+        assert (list(rh), [list(r) for r in rr]) == (eh, er), (doc["doc_id"], kwargs)
+
+
+# ---------------------------------------------------------------------------
+# hypothesis fuzz
+
+WORDS = ["a", "bb", "Caja", "1,234", "$9", "(55)", "-", "2021", "x:", "Total",
+         "12.5", "   ", "αβ", "nota", "$", "("]
+
+token_strategy = st.tuples(
+    st.sampled_from(WORDS),                       # text
+    st.integers(1, 2),                            # page
+    st.integers(0, 300),                          # x1
+    st.integers(0, 400),                          # y1
+    st.integers(1, 80),                           # width
+    st.integers(1, 30),                           # height
+    st.sampled_from([None, None, None, "L1", "L2"]),
+)
+
+
+def _mk_table(tokens):
+    spans = []
+    for off, (text, page, x1, y1, w, h, lid) in enumerate(tokens):
+        ref = f"bbox://p{page}/{x1},{y1},{x1 + w},{y1 + h}"
+        if lid:
+            ref += f"/{lid}"
+        spans.append({"kind": "word", "text": text, "media_ref": ref, "offset": off})
+    return pa.table({"doc_id": pa.array(["fz"]),
+                     "spans": pa.array([spans], pa.list_(SPAN_TYPE))}), spans
+
+
+@settings(max_examples=120, deadline=None)
+@given(tokens=st.lists(token_strategy, min_size=0, max_size=40),
+       layout=st.sampled_from(["generic", "dynamic", "financial", "professional"]))
+def test_fuzz_matches_reference(tokens, layout):
+    tbl, spans = _mk_table(tokens)
+    cfg = LayoutConfig(layout=layout)
+    out = extract_batch(tbl, cfg)
+    assert out["error"].to_pylist() == [""]
+    lst = out["spans"].to_pylist()[0]
+    eh, er = spans_to_grid([(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in lst])
+    rh, rr, rn = ref_extract(spans, layout)
+    assert (list(rh), [list(r) for r in rr]) == (eh, er)
+    if layout == "dynamic" and rn is not None:
+        nn = out["spans_numeric"].to_pylist()[0]
+        nh, nr = spans_to_grid([(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in nn])
+        assert [list(r) for r in rn] == nr

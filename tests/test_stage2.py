@@ -329,3 +329,21 @@ def test_render_documents(ray_session):
     out = render_documents_batch(t)
     assert out["doc_id"].to_pylist() == ["7"]
     assert len(out["spans"].to_pylist()[0]) == 3
+
+
+def test_transformers_pipeline_media_only(ray_session):
+    """A document that is ONLY a media ref still produces a table via
+    the OCR actor pool (fake engine) + scorer + compose chain."""
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.pipelines.transformers import (
+        _pool_sizes, build_transformers_ds)
+    from ocr_table_extractor_to_csv_ray.config import EngineConfig
+
+    ocr_n, model_n = _pool_sizes(EngineConfig())
+    assert ocr_n >= 1 and model_n >= 1 and ocr_n + model_n <= 4  # 4-cpu session
+
+    ds = rd.from_arrow(_media_doc("vid-9", n_media=1))
+    out = build_transformers_ds(ds).take_all()
+    assert len(out) == 1
+    assert out[0]["n_rows"] > 0          # fake OCR emitted a parsable page
+    assert out[0]["layout"] == "transformers"

@@ -466,8 +466,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _langid_oracle_sql() -> str:
+    """SQL mirror of textstats.LangIdStage: stopword-hit argmax with
+    fixed priority order (first language reaching the max wins; all-zero
+    or no words → 'und'). Lists come from the same source of truth."""
+    from ocr_table_extractor_to_csv_ray.functions.textstats import (
+        LANG_PRIORITY, STOPWORDS)
+
+    hit_cols = []
+    for lang in LANG_PRIORITY:
+        words = ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang]))
+        hit_cols.append(
+            f"len(list_filter(words, x -> x IN ({words}))) AS {lang}")
+    langs = list(LANG_PRIORITY)
+    mx = f"greatest({', '.join(langs)})"
+    case = " ".join(f"WHEN {l} = {mx} THEN '{l}'" for l in langs)
+    return f"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text),
+                             '[^a-zà-ɏ'']+'), x -> x <> '') AS words
+          FROM documents),
+        h AS (SELECT doc_id, words, {', '.join(hit_cols)} FROM w)
+        SELECT doc_id,
+               CASE WHEN len(words) = 0 OR {mx} = 0 THEN 'und'
+                    {case} ELSE 'und' END AS lang_pred
+        FROM h
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "langid": _langid_oracle_sql(),
         "doc_token_stats": r"""
             SELECT doc_id,
                    length(text) AS n_chars,

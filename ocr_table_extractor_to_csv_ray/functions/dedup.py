@@ -112,13 +112,18 @@ class MinHashStage:
         texts = batch["text"].to_pylist()
         cache: Dict[str, int] = {}
         sigs = np.empty((len(texts), self.n_perm), np.uint64)
+        n_sh = np.empty(len(texts), np.int64)
         for i, t in enumerate(texts):
-            sigs[i] = minhash_signature(shingle_hashes(t, self.k, cache), self.a, self.b)
+            sh = shingle_hashes(t, self.k, cache)
+            n_sh[i] = len(sh)
+            sigs[i] = minhash_signature(sh, self.a, self.b)
         col = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.reshape(-1).astype(np.int64)), self.n_perm
         )
-        out = batch.drop_columns([c for c in ("minhash",) if c in batch.column_names])
-        return out.append_column("minhash", col)
+        out = batch.drop_columns(
+            [c for c in ("minhash", "n_shingles") if c in batch.column_names])
+        out = out.append_column("minhash", col)
+        return out.append_column("n_shingles", pa.array(n_sh))
 
 
 def estimated_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
@@ -146,7 +151,14 @@ def band_keys(sigs: np.ndarray, n_bands: int) -> np.ndarray:
 
 
 def explode_bands_batch(batch: pa.Table, n_bands: int = 16) -> pa.Table:
-    """``(doc_id, minhash)`` rows → ``(band, band_key, doc_id)`` rows."""
+    """``(doc_id, minhash)`` rows → ``(band, band_key, doc_id)`` rows.
+
+    Shingle-less documents (empty/one-token text) are NOT banded: they
+    all share the sentinel signature and would form one giant O(n²)
+    candidate clique at corpus scale. Exact dedup owns the empty-text
+    case."""
+    if "n_shingles" in batch.column_names:
+        batch = batch.filter(pc.greater(batch["n_shingles"], pa.scalar(0)))
     mh = batch["minhash"].combine_chunks() if isinstance(batch["minhash"], pa.ChunkedArray) else batch["minhash"]
     n_docs = len(mh)
     if n_docs == 0:
@@ -276,7 +288,7 @@ def minhash_lsh_dedup(ds, n_perm: int = 128, n_bands: int = 16, k: int = 3,
         fn_constructor_kwargs={"n_perm": n_perm, "k": k, "seed": seed},
         concurrency=concurrency,
     ).materialize()
-    banded = sigs.select_columns(["doc_id", "minhash"]).map_batches(
+    banded = sigs.select_columns(["doc_id", "minhash", "n_shingles"]).map_batches(
         functools.partial(explode_bands_batch, n_bands=n_bands),
         batch_format="pyarrow",
     )
@@ -351,7 +363,7 @@ def ngram_jaccard_dedup(ds, k: int = 3, threshold: float = 0.7,
         fn_constructor_kwargs={"n_perm": n_perm, "k": k, "seed": seed},
         concurrency=4,
     ).materialize()
-    banded = sigs.select_columns(["doc_id", "minhash"]).map_batches(
+    banded = sigs.select_columns(["doc_id", "minhash", "n_shingles"]).map_batches(
         functools.partial(explode_bands_batch, n_bands=n_bands),
         batch_format="pyarrow",
     )

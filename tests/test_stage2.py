@@ -347,3 +347,15 @@ def test_transformers_pipeline_media_only(ray_session):
     assert len(out) == 1
     assert out[0]["n_rows"] > 0          # fake OCR emitted a parsable page
     assert out[0]["layout"] == "transformers"
+
+
+def test_minhash_skips_shingleless_docs(ray_session):
+    """Empty/one-token docs share the sentinel signature; they must not
+    form an LSH clique (exact dedup owns them)."""
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.dedup import minhash_lsh_dedup
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": pa.array(["", "", "word", "completely different text here today"])})
+    surv, clusters = minhash_lsh_dedup(rd.from_arrow(t), threshold=0.5)
+    assert clusters == {}                     # no near-dup pairs at all
+    assert surv.count() == 4

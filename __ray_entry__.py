@@ -378,6 +378,24 @@ def _join_doc_labels(sf_dir: str):
     return out
 
 
+def _join_orders_lineitem(sf_dir: str):
+    """Large×large explicit partitioned hash join (orders ⋈ lineitem on
+    orderkey), then a small grouped count."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+    from ocr_table_extractor_to_csv_ray.functions.join import hash_join
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_orderpriority"])
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey"])
+    li = li.map_batches(
+        lambda t: pa.table({"o_orderkey": t["l_orderkey"]}),
+        batch_format="pyarrow")
+    joined = hash_join(orders, li, key="o_orderkey", num_buckets=16)
+    return joined.groupby("o_orderpriority").aggregate(Count(alias_name="n_items"))
+
+
 def _events_sessions(sf_dir: str):
     import ray.data as rd
     from ocr_table_extractor_to_csv_ray.functions.join import sessionize
@@ -459,6 +477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _knn_ivf,
         # joins + windows
         "join_doc_labels": _join_doc_labels,
+        "join_orders_lineitem": _join_orders_lineitem,
         "events_sessions": _events_sessions,
         "events_type_value": _events_type_value,
         # events
@@ -538,6 +557,11 @@ def oracle_sql() -> dict[str, str]:
         "join_doc_labels": """
             SELECT d.doc_id, CAST(e.label AS BIGINT) AS label
             FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        """,
+        "join_orders_lineitem": """
+            SELECT o.o_orderpriority, count(*) AS n_items
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderpriority
         """,
         "events_sessions": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),

@@ -76,6 +76,50 @@ def sessionize(ds, key: str = "user_id", ts: str = "ts",
     return ds.groupby(key).map_groups(per_key, batch_format="pandas")
 
 
+def hash_join(left, right, key: str, num_buckets: int = 32,
+              suffix: str = "_r", how: str = "inner"):
+    """Explicit partitioned hash join for two LARGE datasets.
+
+    Both sides get ``bucket = crc32(key) % B`` in a vectorized
+    ``map_batches``; the tagged union shuffles ONCE on ``bucket``
+    (``groupby``), and each bucket joins its two sides with a pandas
+    merge inside ``map_groups``. B is the partitioning contract: one
+    bucket (all rows of ~1/B of the key space, both sides) must fit a
+    worker's heap — salt hot keys into sub-buckets if one key dominates.
+    (Ray ≥ 2.46 also ships ``Dataset.join`` with the same
+    hash-partitioned plan; this spells the pattern out explicitly.)
+    """
+    import zlib
+
+    left_cols = list(left.schema().names)
+    right_cols = list(right.schema().names)
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+
+    def tag(side: str, own_cols):
+        def _t(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            for c in all_cols:          # union needs one schema: pad with NA
+                if c not in b.columns:
+                    b[c] = pd.NA
+            b = b[all_cols]
+            b["__bucket"] = [zlib.crc32(str(k).encode()) % num_buckets
+                             for k in b[key]]
+            b["__side"] = side
+            return b
+        return _t
+
+    lt = left.map_batches(tag("l", left_cols), batch_format="pandas")
+    rt = right.map_batches(tag("r", right_cols), batch_format="pandas")
+    both = lt.union(rt)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == "l"][left_cols]
+        r = g[g["__side"] == "r"][right_cols]
+        return l.merge(r, on=key, how=how, suffixes=("", suffix))
+
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
 def pair_by_stem(image_paths: Sequence[str], hocr_paths: Sequence[str]
                  ) -> List[Tuple[str, str]]:
     """J2 (``dataset_cli.py:39-67``): for each image, the hOCR file with

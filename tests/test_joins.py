@@ -54,3 +54,20 @@ def test_sessionize_semantics(ray_session):
     assert out.loc[0, "session_start"] == t0
     assert out.loc[0, "session_end"] == t0 + 60 * us
     assert out.loc[1, "session_start"] == t0 + 4000 * us
+
+
+def test_hash_join_matches_pandas(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 200),
+                         "a": rng.integers(0, 9, 200)})
+    right = pd.DataFrame({"k": rng.integers(0, 50, 300),
+                          "b": rng.integers(0, 9, 300)})
+    from ocr_table_extractor_to_csv_ray.functions.join import hash_join
+    got = (hash_join(rd.from_pandas(left), rd.from_pandas(right), "k",
+                     num_buckets=7)
+           .to_pandas().sort_values(["k", "a", "b"]).reset_index(drop=True))
+    want = (left.merge(right, on="k").sort_values(["k", "a", "b"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["k", "a", "b"]].astype("int64"), want.astype("int64"))

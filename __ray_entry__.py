@@ -207,6 +207,45 @@ def _split_hash(sf_dir: str):
     return tr.union(ev)
 
 
+def _html_corpus(sf_dir: str):
+    """Deterministic HTML pages wrapping the documents table: text as
+    the main content, nav/footer/script boilerplate, and an embedded
+    table on odd doc_ids."""
+    from ocr_table_extractor_to_csv_ray.sources.html import make_html_page
+
+    def render(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        pages = []
+        for i, txt in zip(ids, texts):
+            table = ([["Concepto", "Valor_1"],
+                      [f"fila-{i}", f"{int(i) * 7}"],
+                      ["Total", f"{int(i) * 11}"]]
+                     if int(i) % 2 else None)
+            pages.append(make_html_page(str(i), txt or "", table=table))
+        return pa.table({"doc_id": pa.array([str(i) for i in ids]),
+                         "html": pa.array(pages)})
+
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        render, batch_format="pyarrow")
+
+
+def _html_main_text(sf_dir: str):
+    """DOM boilerplate strip: main text must round-trip exactly (the
+    SQL oracle is the original documents table)."""
+    from ocr_table_extractor_to_csv_ray.sources.html import html_main_text_batch
+    return _html_corpus(sf_dir).map_batches(html_main_text_batch,
+                                            batch_format="pyarrow")
+
+
+def _html_tables(sf_dir: str):
+    """HTML-embedded tables → the engine's output span contract."""
+    from ocr_table_extractor_to_csv_ray.sources.html import html_tables_batch
+    out = _html_corpus(sf_dir).map_batches(html_tables_batch,
+                                           batch_format="pyarrow")
+    return out.select_columns(["doc_id", "table_idx", "n_rows", "n_cols"])
+
+
 def _doc_token_stats(sf_dir: str):
     from ocr_table_extractor_to_csv_ray.functions.textstats import token_stats_batch
     return (_docs(sf_dir)
@@ -458,6 +497,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_knobs": _extract_knobs,
         "extract_resumable": _extract_resumable,
         "multimodal_features": _multimodal_features,
+        "html_main_text": _html_main_text,
+        "html_tables": _html_tables,
         # text analysis
         "doc_token_stats": _doc_token_stats,
         "lang_distribution": _lang_distribution,
@@ -578,6 +619,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    min(t) AS session_start, max(t) AS session_end
             FROM s GROUP BY user_id, session_id
+        """,
+        "html_main_text": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                   text,
+                   CAST(doc_id % 2 AS BIGINT) AS n_tables
+            FROM documents
+        """,
+        "html_tables": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   0 AS table_idx, 2 AS n_rows, 2 AS n_cols
+            FROM documents WHERE doc_id % 2 = 1
         """,
         "events_type_value": """
             SELECT event_type,

@@ -55,7 +55,10 @@ class EngineConfig:
     num_output_partitions: int = 32         # resumable-output granularity
     oversize_token_threshold: int = 200_000 # page-split docs above this many spans
     ocr_concurrency: int = 4                # Tesseract-style actor pool size
-    ocr_batch_size: int = 16                # media rows per OCR batch (heavy payloads)
+    # batch sizes trade per-call overhead against worker heap: these
+    # defaults suit ref-based media rows; drop to 8-16 when rows carry
+    # decoded page images (batch × concurrency × image_bytes must fit)
+    ocr_batch_size: int = 64
     model_concurrency: int = 2              # layout-model actor pool size
-    model_batch_size: int = 8
+    model_batch_size: int = 32
     layout: LayoutConfig = field(default_factory=LayoutConfig)

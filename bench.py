@@ -129,11 +129,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 def run_scaling(sf_dir: str) -> dict:
     """Fresh process per parallelism level; same pre-generated input.
 
-    100k docs ≈ 250 cpu-seconds of kernel work — enough that the fixed
-    pipeline floor (~2 s of executor/sink setup that doesn't shrink
-    with CPUs) is noise at both levels.
+    The scaling corpus is 2× the plain-bench corpus so per-doc compute
+    dominates the fixed pipeline floor (~2 s of executor/sink setup
+    that doesn't shrink with CPUs) at BOTH levels.
     """
-    n_docs = corpus_docs_for(sf_dir)
+    n_docs = 2 * corpus_docs_for(sf_dir)
     env = dict(os.environ)
 
     def run(ncpu: int) -> dict:

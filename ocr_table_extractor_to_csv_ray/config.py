@@ -9,7 +9,7 @@ Every tunable knob of the reference engine, collected in one place
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 
 @dataclass(frozen=True)

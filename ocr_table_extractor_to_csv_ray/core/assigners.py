@@ -10,10 +10,8 @@ from __future__ import annotations
 
 from typing import List, Sequence, Tuple
 
-import numpy as np
-
 from .doc import TokenSOA
-from .geometry import Line, line_gap_quantile, merge_token_spans, nearest_interval
+from .geometry import Line, merge_token_spans, nearest_interval
 from .numeric import is_num_span, is_numeric_token
 from .records import Record
 

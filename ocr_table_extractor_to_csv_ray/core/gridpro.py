@@ -18,7 +18,7 @@ Divergences from the generic layout that are CONTRACT here (SURVEY.md §7.0):
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -15,7 +15,7 @@ actor-pool stage (``stages/model.py``) — this module is pure geometry.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

@@ -18,11 +18,10 @@ engine-level operators a corpus pipeline needs around it:
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 
 
 def broadcast_join(ds, small_df: pd.DataFrame, key: str,

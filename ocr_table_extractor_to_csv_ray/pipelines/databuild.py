@@ -16,8 +16,6 @@ import functools
 from dataclasses import asdict
 from typing import Optional
 
-import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..core.databuild import build_example

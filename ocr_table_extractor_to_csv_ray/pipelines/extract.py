@@ -22,7 +22,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..config import EngineConfig, LayoutConfig
+from ..config import EngineConfig
 from ..stages.extract import extract_batch
 from ..state import lineage
 

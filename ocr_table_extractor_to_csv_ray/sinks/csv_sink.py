@@ -20,7 +20,7 @@ from __future__ import annotations
 import csv
 import io
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import Sequence
 
 import pyarrow as pa
 

@@ -19,7 +19,7 @@ vectorized-over-rows ``map_batches`` stage.
 from __future__ import annotations
 
 from html.parser import HTMLParser
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import pyarrow as pa
 
@@ -175,7 +175,7 @@ def html_tables_batch(batch: pa.Table, html_column: str = "html") -> pa.Table:
     ``(doc_id, table_idx, n_rows, n_cols, spans)`` — same output span
     contract as the OCR reconstruction (first row = header, reference
     default ``rows.py:146``)."""
-    from ..stages.extract import SPAN_TYPE, make_span_column
+    from ..stages.extract import make_span_column
 
     ids = batch["doc_id"].to_pylist()
     htmls = batch[html_column].to_pylist()

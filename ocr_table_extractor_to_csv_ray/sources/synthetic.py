@@ -14,7 +14,7 @@ with word geometry packed into ``media_ref`` (see ``core/spans.py``).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 import pyarrow as pa

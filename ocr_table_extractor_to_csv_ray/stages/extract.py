@@ -9,7 +9,7 @@ offset slices.  Stateless → plain function → Ray task stage.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 import pyarrow as pa

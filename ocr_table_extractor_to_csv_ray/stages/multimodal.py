@@ -17,8 +17,6 @@ actor signature, batch sizing, output layout) is real and tested.
 from __future__ import annotations
 
 import hashlib
-from typing import Optional, Tuple
-
 import numpy as np
 import pyarrow as pa
 

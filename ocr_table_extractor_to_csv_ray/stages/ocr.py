@@ -55,6 +55,58 @@ class _FakeTesseract:
         return out
 
 
+class PdfRasterizeStage:
+    """``kind="media"`` spans whose ref is ``pdf://…`` → one ``img://``
+    media span per page (the rasterize step in front of OCR).
+
+    A real backend (pdfium/poppler) would decode page bitmaps here; this
+    container has none, so the page COUNT is a deterministic fake
+    (pure function of the ref) while the span fan-out, ordering and
+    downstream OCR compatibility are real. Actor pool: rasterizers hold
+    codec state; size ``batch_size`` to page-bitmap memory.
+    """
+
+    def __init__(self, max_pages: int = 16) -> None:
+        self.max_pages = max_pages
+        try:  # pragma: no cover — not installed here
+            import pypdfium2  # noqa: F401
+            self._backend = "pdfium"
+        except ImportError:
+            self._backend = "fake"
+
+    def _page_count(self, ref: str) -> int:
+        if self._backend == "pdfium":  # pragma: no cover
+            raise NotImplementedError("real path: pdfium.PdfDocument(payload)")
+        return 1 + zlib.crc32(ref.encode()) % self.max_pages
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        spans_col = batch["spans"].combine_chunks() if isinstance(batch["spans"], pa.ChunkedArray) else batch["spans"]
+        refs = spans_col.flatten().field("media_ref")
+        has_pdf = pc.sum(pc.cast(pc.starts_with(refs, "pdf://"), pa.int64())).as_py()
+        if not has_pdf:
+            return batch
+        rows = spans_col.to_pylist()
+        new_rows = []
+        for spans in rows:
+            spans = spans or []
+            out, off = [], 0
+            for s in spans:
+                if s["kind"] == KIND_MEDIA and s["media_ref"].startswith("pdf://"):
+                    base = s["media_ref"][len("pdf://"):]
+                    for p in range(1, self._page_count(s["media_ref"]) + 1):
+                        out.append({"kind": KIND_MEDIA, "text": "",
+                                    "media_ref": f"img://{base}/page{p}",
+                                    "offset": off})
+                        off += 1
+                else:
+                    out.append({**s, "offset": off})
+                    off += 1
+            new_rows.append(out)
+        out_t = batch.drop_columns(["spans"])
+        return out_t.append_column("spans", pa.array(new_rows, type=spans_col.type))
+
+
 class OcrStage:
     """``map_batches`` actor: expands each ``kind="media"`` span of a
     document into word spans (appended after the existing spans, offsets

@@ -359,3 +359,27 @@ def test_minhash_skips_shingleless_docs(ray_session):
     surv, clusters = minhash_lsh_dedup(rd.from_arrow(t), threshold=0.5)
     assert clusters == {}                     # no near-dup pairs at all
     assert surv.count() == 4
+
+
+def test_pdf_rasterize_fanout():
+    from ocr_table_extractor_to_csv_ray.stages.ocr import OcrStage, PdfRasterizeStage
+    from ocr_table_extractor_to_csv_ray.sources.synthetic import SPAN_TYPE
+    spans = [{"kind": "media", "text": "", "media_ref": "pdf://doc-7/file.pdf",
+              "offset": 0}]
+    t = pa.table({"doc_id": pa.array(["doc-7"]),
+                  "spans": pa.array([spans], pa.list_(SPAN_TYPE))})
+    st = PdfRasterizeStage()
+    out = st(t)["spans"].to_pylist()[0]
+    assert out == st(t)["spans"].to_pylist()[0]          # deterministic
+    assert all(s["media_ref"].startswith("img://doc-7/file.pdf/page") for s in out)
+    assert [s["offset"] for s in out] == list(range(len(out)))
+    assert len(out) >= 1
+    # pages feed straight into the OCR stage → word spans appear
+    ocr = OcrStage()(st(t))["spans"].to_pylist()[0]
+    assert any(s["kind"] == "word" for s in ocr)
+    # non-pdf batches pass through untouched
+    plain = pa.table({"doc_id": pa.array(["x"]),
+                      "spans": pa.array([[{"kind": "word", "text": "a",
+                                           "media_ref": "bbox://p1/1,1,9,9",
+                                           "offset": 0}]], pa.list_(SPAN_TYPE))})
+    assert PdfRasterizeStage()(plain) is plain

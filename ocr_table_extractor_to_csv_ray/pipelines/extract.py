@@ -133,10 +133,12 @@ def generate_corpus(out_dir: str, n_docs: int, seed: int = 42,
     import pyarrow.dataset as pads
     from ..sources.synthetic import corpus_table
 
+    from ..sources.synthetic import GENERATOR_VERSION
     marker = os.path.join(out_dir, "_COMPLETE")
+    stamp = f"{n_docs}:{seed}:v{GENERATOR_VERSION}"
     if os.path.exists(marker):
         with open(marker) as fh:
-            if fh.read().strip() == f"{n_docs}:{seed}":
+            if fh.read().strip() == stamp:
                 return out_dir
     import shutil
     if os.path.isdir(out_dir):
@@ -155,5 +157,5 @@ def generate_corpus(out_dir: str, n_docs: int, seed: int = 42,
        .map_batches(_gen, batch_format="pyarrow", batch_size=1)
        .write_parquet(out_dir))
     with open(marker, "w") as fh:
-        fh.write(f"{n_docs}:{seed}")
+        fh.write(stamp)
     return out_dir

@@ -16,7 +16,7 @@ from typing import Optional
 
 from ..config import EngineConfig, LayoutConfig
 from ..stages.model import LayoutScorerStage, TransformersExtractStage
-from ..stages.ocr import OcrStage
+from ..stages.ocr import OcrStage, PdfRasterizeStage
 
 
 def _pool_sizes(cfg: EngineConfig) -> tuple:
@@ -39,6 +39,11 @@ def build_transformers_ds(ds, cfg: Optional[EngineConfig] = None):
     cfg = cfg or EngineConfig(layout=LayoutConfig(layout="transformers"))
     lcfg = cfg.layout
     ocr_n, model_n = _pool_sizes(cfg)
+    # pdf:// media fan out to per-page img:// spans before OCR
+    # (vectorized pass-through when a batch has none)
+    rasterizer = PdfRasterizeStage()
+    ds = ds.map_batches(lambda t: rasterizer(t), batch_format="pyarrow",
+                        batch_size=cfg.ocr_batch_size)
     ds = ds.map_batches(
         OcrStage, batch_format="pyarrow",
         fn_constructor_kwargs={"cfg": lcfg},

@@ -24,6 +24,10 @@ from ..core.spans import KIND_MEDIA, KIND_WORD, encode_bbox_ref
 PAGE_W, PAGE_H = 2000, 2600
 CHAR_W = 9          # rendered pixel width per character
 
+# bump when make_doc's output changes for any (seed, index) — invalidates
+# the /tmp corpus caches written by pipelines.extract.generate_corpus
+GENERATOR_VERSION = 1
+
 ARCHETYPES = (
     "balance3", "generic4", "dynamic_years", "hierarchy",
     "multipage", "edge", "media_interleaved",

@@ -9,7 +9,7 @@ offset slices.  Stateless → plain function → Ray task stage.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -103,16 +103,31 @@ def make_span_column(per_doc: Sequence[List[Tuple[str, str, str, int]]]) -> pa.L
 
 
 def extract_batch(tbl: pa.Table, cfg: LayoutConfig) -> pa.Table:
-    """Run the layout kernel over every document row of the batch."""
+    """Run the layout kernel over every document row of the batch.
+
+    Per-row dispatch (SURVEY.md §2.11): a ``layout`` string column on
+    the input overrides ``cfg.layout`` row-by-row — one corpus can mix
+    strategies without splitting the pipeline. Rows with an empty /
+    null layout value fall back to ``cfg.layout``.
+    """
+    import dataclasses
+
     n = tbl.num_rows
     word_offsets, toks, has_lid = decode_token_batch(tbl["spans"])
+
+    row_layouts: Optional[List] = None
+    cfg_cache = {cfg.layout: cfg}
+    if "layout" in tbl.column_names:
+        row_layouts = tbl["layout"].to_pylist()
 
     span_out: List[List[Tuple[str, str, str, int]]] = []
     numeric_out: List[List[Tuple[str, str, str, int]]] = []
     n_rows = np.zeros(n, dtype=np.int32)
     n_cols = np.zeros(n, dtype=np.int32)
     errors: List[str] = [""] * n
-    emit_numeric = cfg.layout == "dynamic"
+    out_layout: List[str] = [cfg.layout] * n
+    emit_numeric = cfg.layout == "dynamic" or (
+        row_layouts is not None and "dynamic" in set(row_layouts))
 
     for i in range(n):
         lo, hi = word_offsets[i], word_offsets[i + 1]
@@ -126,8 +141,16 @@ def extract_batch(tbl: pa.Table, cfg: LayoutConfig) -> pa.Table:
             y2=toks.y2[sl],
             line_id=toks.line_id[sl] if has_lid[sl].any() else None,
         )
+        row_cfg = cfg
+        if row_layouts is not None and row_layouts[i]:
+            lay = row_layouts[i]
+            row_cfg = cfg_cache.get(lay)
+            if row_cfg is None:
+                row_cfg = dataclasses.replace(cfg, layout=lay)
+                cfg_cache[lay] = row_cfg
+            out_layout[i] = lay
         try:
-            res: DocResult = extract_document(doc, cfg)
+            res: DocResult = extract_document(doc, row_cfg)
         except Exception as exc:  # noqa: BLE001
             # a malformed document must not poison its whole block
             # (SURVEY.md §4.2 retries row): emit an empty result + error
@@ -145,7 +168,7 @@ def extract_batch(tbl: pa.Table, cfg: LayoutConfig) -> pa.Table:
 
     cols = {
         "doc_id": _combine(tbl["doc_id"]),
-        "layout": pa.array([cfg.layout] * n, pa.string()),
+        "layout": pa.array(out_layout, pa.string()),
         "n_rows": pa.array(n_rows),
         "n_cols": pa.array(n_cols),
         "error": pa.array(errors, pa.string()),

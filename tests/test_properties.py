@@ -66,3 +66,26 @@ def test_span_offsets_are_contiguous_reading_order(corpus_200):
         # rows terminate: last span (if any) is a row_end
         if spans:
             assert spans[-1]["kind"] == "row_end"
+
+
+def test_per_row_layout_dispatch(corpus_200):
+    """A `layout` column on the input overrides cfg per row and each
+    row's output equals the whole-corpus run of that layout."""
+    import pyarrow as pa
+    n = 40
+    sample = corpus_200.slice(0, n).select(["doc_id", "spans"])
+    layouts = ["generic", "financial", "dynamic", "professional"] * (n // 4)
+    mixed = sample.append_column("layout", pa.array(layouts))
+    out = extract_batch(mixed, LayoutConfig(layout="generic"))
+    assert out["layout"].to_pylist() == layouts
+    assert "spans_numeric" in out.column_names      # dynamic rows present
+    per_layout = {
+        lay: extract_batch(sample, LayoutConfig(layout=lay))
+        for lay in set(layouts)
+    }
+    for i, lay in enumerate(layouts):
+        want = per_layout[lay]["spans"].to_pylist()[i]
+        assert out["spans"].to_pylist()[i] == want, (i, lay)
+        if lay == "dynamic":
+            assert out["spans_numeric"].to_pylist()[i] == \
+                per_layout[lay]["spans_numeric"].to_pylist()[i]

@@ -166,6 +166,70 @@ class FrameSampleStage:
         })
 
 
+class AudioDecodeStage:
+    """``(media_id, payload)`` → PCM waveform column (float32, fixed
+    sample count). Codec stubbed (deterministic waveform from the
+    payload digest); an installed ``soundfile``/ffmpeg backend would
+    slot into ``_decode`` with the same contract."""
+
+    def __init__(self, n_samples: int = 8000) -> None:
+        self.n = n_samples
+        try:  # pragma: no cover — not installed here
+            import soundfile  # noqa: F401
+            self._backend = "soundfile"
+        except ImportError:
+            self._backend = "fake"
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if self._backend == "soundfile":  # pragma: no cover
+            raise NotImplementedError("real path: soundfile.read(BytesIO(payload))")
+        seed = int.from_bytes(hashlib.blake2b(payload or b"", digest_size=8).digest(), "little")
+        rng = np.random.default_rng(seed)
+        t = np.arange(self.n, dtype=np.float32)
+        freq = 50 + (seed % 400)
+        return (np.sin(2 * np.pi * freq * t / 8000).astype(np.float32)
+                + 0.1 * rng.standard_normal(self.n).astype(np.float32))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        n = len(payloads)
+        wav = np.empty((n, self.n), np.float32)
+        for i, p in enumerate(payloads):
+            wav[i] = self._decode(p or b"")
+        out = batch
+        if "waveform" in out.column_names:
+            out = out.drop_columns(["waveform"])
+        return out.append_column("waveform", pa.FixedSizeListArray.from_arrays(
+            pa.array(wav.reshape(-1)), self.n))
+
+
+class AudioFeatureStage:
+    """Waveform → REAL spectral features, fully vectorized over the
+    batch: RMS, zero-crossing rate, and an 8-band log-power spectrum
+    (rfft). A learned audio embedding would use identical plumbing."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch
+        col = batch["waveform"].combine_chunks() if isinstance(batch["waveform"], pa.ChunkedArray) else batch["waveform"]
+        ns = col.type.list_size
+        wav = np.asarray(col.values.to_numpy(zero_copy_only=False),
+                         dtype=np.float32).reshape(n, ns)
+        rms = np.sqrt((wav ** 2).mean(axis=1))
+        zcr = (np.diff(np.signbit(wav), axis=1) != 0).mean(axis=1)
+        spec = np.abs(np.fft.rfft(wav, axis=1)) ** 2
+        bands = np.stack([b.mean(axis=1) for b in
+                          np.array_split(spec, 8, axis=1)], axis=1)
+        logb = np.log1p(bands).astype(np.float32)
+        feats = np.concatenate([rms[:, None], zcr[:, None], logb], axis=1).astype(np.float32)
+        out = batch
+        if "audio_features" in out.column_names:
+            out = out.drop_columns(["audio_features"])
+        return out.append_column("audio_features", pa.FixedSizeListArray.from_arrays(
+            pa.array(feats.reshape(-1)), feats.shape[1]))
+
+
 def decode_pipeline(ds, decode_concurrency: int = 4, batch_size: int = 32,
                     height: int = 64, width: int = 64):
     """media table → decoded + featured. Small batches: decoded pixels

@@ -76,3 +76,27 @@ def test_decode_pipeline_streaming(ray_session):
     rows = out.take_all()
     assert len(rows) == 40
     assert len(rows[0]["features"]) == 14
+
+
+def test_audio_decode_and_features(ray_session):
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.stages.multimodal import (
+        AudioDecodeStage, AudioFeatureStage)
+    st = AudioDecodeStage(n_samples=4000)
+    t = _media(5)
+    a = st(t)
+    assert a["waveform"].type.list_size == 4000
+    assert a["waveform"].to_pylist() == st(t)["waveform"].to_pylist()  # deterministic
+    f = AudioFeatureStage()(a)
+    feats = np.array(f["audio_features"].to_pylist())
+    assert feats.shape == (5, 10)
+    assert (feats[:, 0] > 0).all()           # RMS of a sine+noise
+    assert (feats[:, 1] > 0).all()           # zero crossings
+    # pipeline form: actor pool over a Dataset
+    out = (rd.from_arrow(_media(12))
+           .map_batches(AudioDecodeStage, batch_format="pyarrow",
+                        fn_constructor_kwargs={"n_samples": 2000},
+                        batch_size=4, concurrency=2)
+           .map_batches(AudioFeatureStage, batch_format="pyarrow",
+                        concurrency=2))
+    assert out.count() == 12

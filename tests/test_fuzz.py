@@ -108,3 +108,44 @@ def test_fuzz_matches_reference(tokens, layout):
         nn = out["spans_numeric"].to_pylist()[0]
         nh, nr = spans_to_grid([(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in nn])
         assert [list(r) for r in rn] == nr
+
+
+# ---------------------------------------------------------------------------
+# parser robustness fuzz (no oracle — must not crash, must round-trip)
+
+@settings(max_examples=80, deadline=None)
+@given(tokens=st.lists(
+    st.tuples(st.text(alphabet="abcXYZ123 ", min_size=1, max_size=8).map(str.strip),
+              st.integers(1, 3), st.integers(0, 999), st.integers(0, 999),
+              st.integers(1, 50), st.integers(1, 30),
+              st.sampled_from([None, "L1"])),
+    max_size=25))
+def test_hocr_roundtrip_fuzz(tokens):
+    from ocr_table_extractor_to_csv_ray.sources.hocr import (
+        parse_hocr_tokens, tokens_to_hocr)
+    toks = [(t or "x", p, x1, y1, x1 + w, y1 + h, lid)
+            for (t, p, x1, y1, w, h, lid) in tokens
+            if t and "<" not in t and "&" not in t]
+    # hOCR pages are POSITIONAL: the parser numbers ocr_page elements
+    # 1..n in document order (reference parser.py:29), so declared page
+    # values collapse to their rank among the distinct pages present.
+    rank = {p: i + 1 for i, p in enumerate(sorted({t[1] for t in toks}))}
+    want = [(t, rank[p], x1, y1, x2, y2, lid)
+            for (t, p, x1, y1, x2, y2, lid) in toks]
+    got = parse_hocr_tokens(tokens_to_hocr(toks))
+    from collections import Counter
+    # geometry+text round-trips exactly (pages positional)
+    assert Counter(g[:6] for g in got) == Counter(w[:6] for w in want)
+    # declared line ids survive; lid-less tokens may legitimately ACQUIRE
+    # one via the containment join (reference parser.py:33-58) when they
+    # sit inside another line's bbox — so only check the declared side
+    assert (Counter(w[6] for w in want if w[6])
+            <= Counter(g[6] for g in got if g[6]))
+
+
+@settings(max_examples=80, deadline=None)
+@given(soup=st.text(alphabet="<>/abps tdrl\"=ne1", max_size=300))
+def test_html_walker_never_crashes(soup):
+    from ocr_table_extractor_to_csv_ray.sources.html import extract_main_content
+    r = extract_main_content(soup)
+    assert set(r) == {"title", "text", "tables"}

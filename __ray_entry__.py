@@ -317,6 +317,22 @@ def _rolling_fingerprint(sf_dir: str):
 # ---------------------------------------------------------------------------
 # dedup
 
+def _vocab_size(sf_dir: str):
+    """Exact corpus-wide distinct-token count (local dedup → global)."""
+    import pandas as pd
+    from ocr_table_extractor_to_csv_ray.functions.sketch import exact_vocab_size
+    return pd.DataFrame({"vocab": pd.array([exact_vocab_size(_docs(sf_dir))],
+                                           dtype="int64")})
+
+
+def _vocab_hll(sf_dir: str):
+    """HyperLogLog estimate (mergeable per-batch sketches)."""
+    import pandas as pd
+    from ocr_table_extractor_to_csv_ray.functions.sketch import hll_vocab_sketch
+    est, _ = hll_vocab_sketch(_docs(sf_dir))
+    return pd.DataFrame({"vocab_estimate": pd.array([round(est)], dtype="int64")})
+
+
 def _dedup_exact(sf_dir: str):
     from ocr_table_extractor_to_csv_ray.functions.dedup import exact_dedup
     return exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
@@ -507,6 +523,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": _quality,
         "fingerprint_md5": _fingerprint,
         "fingerprint_rolling": _rolling_fingerprint,
+        # distinct counts / sketches
+        "vocab_size": _vocab_size,
+        "vocab_hll": _vocab_hll,
         # dedup
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
@@ -577,6 +596,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "vocab_size": r"""
+            SELECT count(DISTINCT w) AS vocab
+            FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                  FROM documents)
         """,
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe

@@ -383,3 +383,27 @@ def test_pdf_rasterize_fanout():
                                            "media_ref": "bbox://p1/1,1,9,9",
                                            "offset": 0}]], pa.list_(SPAN_TYPE))})
     assert PdfRasterizeStage()(plain) is plain
+
+
+def test_hll_accuracy_and_merge():
+    from ocr_table_extractor_to_csv_ray.functions.sketch import HyperLogLog
+    from ocr_table_extractor_to_csv_ray.functions.textstats import token_hash64
+    hashes = np.array([token_hash64(f"tok{i}") for i in range(50_000)],
+                      dtype=np.uint64)
+    h = HyperLogLog(12)
+    h.add_hashes(hashes)
+    assert abs(h.cardinality() - 50_000) / 50_000 < 0.03
+    # merge == union (same estimate as one-shot)
+    a, b = HyperLogLog(12), HyperLogLog(12)
+    a.add_hashes(hashes[:30_000]); b.add_hashes(hashes[20_000:])
+    assert a.merge(b).cardinality() == h.cardinality()
+    # serialization round-trip
+    assert HyperLogLog.from_bytes(h.to_bytes()).cardinality() == h.cardinality()
+
+
+def test_exact_vocab(ray_session):
+    import ray.data as rd
+    t = pa.table({"text": pa.array(["a b c", "b c d", "", "a  a"])})
+    from ocr_table_extractor_to_csv_ray.functions.sketch import exact_vocab_size
+    # tokens: a b c d and the empty-split token of ""
+    assert exact_vocab_size(rd.from_arrow(t)) == 5

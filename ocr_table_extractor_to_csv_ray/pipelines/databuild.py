@@ -13,7 +13,6 @@ set is known.
 from __future__ import annotations
 
 import functools
-from dataclasses import asdict
 from typing import Optional
 
 import pyarrow as pa
@@ -49,9 +48,15 @@ def build_examples_batch(batch: pa.Table, expected_n_cols=None,
                          "is_header": [], "table_header": [], "table_rows": [],
                          "n_rows": 0, "n_cols": 0, "error": "no_tokens_or_columns"})
         else:
-            d = asdict(ex)
-            d["error"] = ""
-            rows.append(d)
+            # NOT dataclasses.asdict — that deep-copies every nested list
+            # (profiled 2/3 of this stage); the Example is ours to reference
+            rows.append({
+                "doc_id": ex.doc_id, "words": ex.words, "bboxes": ex.bboxes,
+                "labels": ex.labels, "row_ids": ex.row_ids,
+                "col_ids": ex.col_ids, "is_header": ex.is_header,
+                "table_header": ex.table_header, "table_rows": ex.table_rows,
+                "n_rows": ex.n_rows, "n_cols": ex.n_cols, "error": "",
+            })
     # table_rows is list<list<string>> — keep Arrow-native
     schema = pa.schema([
         ("doc_id", pa.string()),

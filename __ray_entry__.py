@@ -314,6 +314,22 @@ def _rolling_fingerprint(sf_dir: str):
             .map_batches(first_hash, batch_format="pyarrow"))
 
 
+def _stratified_sample(sf_dir: str):
+    """Content-hash stratified sample: 50% en, 25% es/fr, 10% rest."""
+    from ocr_table_extractor_to_csv_ray.functions.sampling import stratified_sample
+    out = stratified_sample(
+        _docs(sf_dir).select_columns(["doc_id", "lang"]),
+        rates={"en": 0.5, "es": 0.25, "fr": 0.25}, default_rate=0.10)
+    return out
+
+
+def _topk_docs_per_lang(sf_dir: str):
+    """3 longest documents per language (ties by doc_id)."""
+    from ocr_table_extractor_to_csv_ray.functions.sampling import topk_per_group
+    ds = _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"])
+    return topk_per_group(ds, "lang", "n_chars", k=3)
+
+
 # ---------------------------------------------------------------------------
 # dedup
 
@@ -523,6 +539,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": _quality,
         "fingerprint_md5": _fingerprint,
         "fingerprint_rolling": _rolling_fingerprint,
+        # sampling / per-group selection
+        "stratified_sample": _stratified_sample,
+        "topk_docs_per_lang": _topk_docs_per_lang,
         # distinct counts / sketches
         "vocab_size": _vocab_size,
         "vocab_hll": _vocab_hll,
@@ -596,6 +615,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                  CASE lang WHEN 'en' THEN '80000000'
+                            WHEN 'es' THEN '40000000'
+                            WHEN 'fr' THEN '40000000'
+                            ELSE '19999999' END
+        """,
+        "topk_docs_per_lang": """
+            WITH r AS (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC, doc_id) AS rank
+              FROM documents)
+            SELECT doc_id, lang, n_chars, rank FROM r WHERE rank <= 3
         """,
         "vocab_size": r"""
             SELECT count(DISTINCT w) AS vocab

@@ -1,0 +1,60 @@
+"""Deterministic sampling / per-group selection for training-data prep.
+
+- :func:`stratified_sample` — per-stratum rates with a CONTENT-HASH
+  threshold (md5 prefix), not an RNG: the same document is kept on
+  every run, any cluster size, any partitioning — and the rule is
+  reproducible in SQL (``substr(md5(key), 1, 8) < threshold``), so the
+  sample itself is oracle-checkable. No shuffle: a vectorized filter.
+- :func:`topk_per_group` — k rows per group by a sort column
+  (ties broken by id): partition by group key, sort within group.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, Optional
+
+import pandas as pd
+import pyarrow as pa
+
+
+def _md5_prefix(value: str) -> str:
+    return hashlib.md5(value.encode("utf-8")).hexdigest()[:8]
+
+
+def rate_to_threshold(rate: float) -> str:
+    """Keep-rate → 8-hex-digit threshold (lexicographic compare)."""
+    return format(min(int(rate * 16 ** 8), 16 ** 8 - 1), "08x")
+
+
+def stratified_sample(ds, rates: Dict[str, float], stratum_column: str = "lang",
+                      id_column: str = "doc_id",
+                      default_rate: float = 0.0):
+    """Keep each row iff ``md5(str(id))[:8] < threshold(stratum rate)``."""
+    thresholds = {k: rate_to_threshold(v) for k, v in rates.items()}
+    default_thr = rate_to_threshold(default_rate)
+
+    def _filter(t: pa.Table) -> pa.Table:
+        ids = t[id_column].to_pylist()
+        strata = t[stratum_column].to_pylist()
+        mask = [
+            _md5_prefix(str(i)) < thresholds.get(s, default_thr)
+            for i, s in zip(ids, strata)
+        ]
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def topk_per_group(ds, group_column: str, sort_column: str, k: int = 3,
+                   id_column: str = "doc_id", descending: bool = True):
+    """k rows per group ordered by ``sort_column`` (ties → ascending id);
+    emits a 1-based ``rank`` column."""
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([sort_column, id_column],
+                          ascending=[not descending, True],
+                          kind="mergesort").head(k).reset_index(drop=True)
+        g["rank"] = pd.array(range(1, len(g) + 1), dtype="int64")
+        return g
+
+    return ds.groupby(group_column).map_groups(per_group, batch_format="pandas")

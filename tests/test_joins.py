@@ -71,3 +71,32 @@ def test_hash_join_matches_pandas(ray_session):
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(
         got[["k", "a", "b"]].astype("int64"), want.astype("int64"))
+
+
+def test_stratified_sample_stable(ray_session):
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.sampling import (
+        rate_to_threshold, stratified_sample)
+    assert rate_to_threshold(0.5) == "80000000"
+    assert rate_to_threshold(1.0) == "ffffffff"
+    t = pa.table({"doc_id": pa.array(range(1000), pa.int64()),
+                  "lang": pa.array(["en", "xx"] * 500)})
+    out1 = stratified_sample(rd.from_arrow(t), {"en": 0.5}, default_rate=0.0)
+    ids1 = set(out1.to_pandas()["doc_id"])
+    out2 = stratified_sample(rd.from_arrow(t), {"en": 0.5}, default_rate=0.0)
+    assert ids1 == set(out2.to_pandas()["doc_id"])        # run-stable
+    assert all(i % 2 == 0 for i in ids1)                  # only 'en' stratum
+    assert 0.35 < len(ids1) / 500 < 0.65                  # ~50% of en
+
+
+def test_topk_per_group(ray_session):
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.sampling import topk_per_group
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                  "g": pa.array(list("aaabbb")),
+                  "v": pa.array([5, 9, 9, 1, 2, 3], pa.int64())})
+    out = (topk_per_group(rd.from_arrow(t), "g", "v", k=2)
+           .to_pandas().sort_values(["g", "rank"]).reset_index(drop=True))
+    # ties (9,9) broken by ascending doc_id
+    assert list(out["doc_id"]) == [2, 3, 6, 5]
+    assert list(out["rank"]) == [1, 2, 1, 2]

@@ -32,17 +32,40 @@ def _ensure_ray():
 
 
 def _read_corpus(path: str):
-    """Parquet corpus dir/file, or a directory of raw .hocr files."""
+    """Parquet corpus dir/file, or a directory of raw ``.hocr`` /
+    ``.txt`` / ``.html`` files (converted to the span schema on read)."""
     import ray.data as rd
-    from .sources.hocr import parse_hocr_batch
 
-    hocrs = sorted(glob.glob(os.path.join(path, "*.hocr"))) if os.path.isdir(path) else []
-    if hocrs:
+    if os.path.isdir(path):
         import pyarrow as pa
-        rows = [{"doc_id": os.path.splitext(os.path.basename(p))[0],
-                 "hocr": open(p, encoding="utf-8").read()} for p in hocrs]
-        return rd.from_arrow(pa.Table.from_pylist(rows)).map_batches(
-            parse_hocr_batch, batch_format="pyarrow")
+
+        def _files(ext):
+            return sorted(glob.glob(os.path.join(path, f"*.{ext}")))
+
+        hocrs = _files("hocr")
+        if hocrs:
+            from .sources.hocr import parse_hocr_batch
+            rows = [{"doc_id": os.path.splitext(os.path.basename(p))[0],
+                     "hocr": open(p, encoding="utf-8").read()} for p in hocrs]
+            return rd.from_arrow(pa.Table.from_pylist(rows)).map_batches(
+                parse_hocr_batch, batch_format="pyarrow")
+        txts = _files("txt")
+        if txts:
+            from .sources.render import render_documents_batch
+            rows = [{"doc_id": os.path.splitext(os.path.basename(p))[0],
+                     "text": open(p, encoding="utf-8").read()} for p in txts]
+            return rd.from_arrow(pa.Table.from_pylist(rows)).map_batches(
+                render_documents_batch, batch_format="pyarrow")
+        htmls = _files("html")
+        if htmls:
+            # main-content strip → text → rendered spans
+            from .sources.html import html_main_text_batch
+            from .sources.render import render_documents_batch
+            rows = [{"doc_id": os.path.splitext(os.path.basename(p))[0],
+                     "html": open(p, encoding="utf-8").read()} for p in htmls]
+            return (rd.from_arrow(pa.Table.from_pylist(rows))
+                    .map_batches(html_main_text_batch, batch_format="pyarrow")
+                    .map_batches(render_documents_batch, batch_format="pyarrow"))
     return rd.read_parquet(path, columns=["doc_id", "spans"])
 
 

@@ -30,17 +30,22 @@ class Line(NamedTuple):
     idx: np.ndarray          # token indices, sorted by token x1 (stable)
 
 
-def _close_line(toks: TokenSOA, page: int, members: List[int]) -> Line:
-    idx = np.asarray(members, dtype=np.int64)
-    order = np.argsort(toks.x1[idx], kind="stable")
-    idx = idx[order]
+def _close_line(toks: TokenSOA, page: int, members: List[int],
+                _x1=None, _y1=None, _x2=None, _y2=None) -> Line:
+    """Lines are tiny (a handful of tokens): python sort/min/max over
+    prefetched int lists beats numpy's per-call dispatch by ~3×. The
+    ``_x1.._y2`` lists are per-doc prefetches (``tolist()`` once)."""
+    if _x1 is None:
+        _x1 = toks.x1.tolist(); _y1 = toks.y1.tolist()
+        _x2 = toks.x2.tolist(); _y2 = toks.y2.tolist()
+    members = sorted(members, key=lambda i: _x1[i])   # stable, like argsort
     return Line(
         page=page,
-        x1=int(toks.x1[idx].min()),
-        y1=int(toks.y1[idx].min()),
-        x2=int(toks.x2[idx].max()),
-        y2=int(toks.y2[idx].max()),
-        idx=idx,
+        x1=min(_x1[i] for i in members),
+        y1=min(_y1[i] for i in members),
+        x2=max(_x2[i] for i in members),
+        y2=max(_y2[i] for i in members),
+        idx=np.asarray(members, dtype=np.int64),
     )
 
 
@@ -74,48 +79,53 @@ def build_lines(toks: TokenSOA) -> List[Line]:
     if n == 0:
         return []
 
+    # per-doc prefetch: python-int lists once, loops never touch numpy
+    x1_l = toks.x1.tolist(); y1_l = toks.y1.tolist()
+    x2_l = toks.x2.tolist(); y2_l = toks.y2.tolist()
+    page_l = toks.page.tolist()
+
     has_ids = toks.line_id is not None and any(bool(v) for v in toks.line_id)
     if has_ids:
-        yc = toks.yc
         groups: dict = {}
         for i in range(n):
-            lid = toks.line_id[i] or f"inferred_{toks.page[i]}_{int(yc[i])}"
-            groups.setdefault((int(toks.page[i]), lid), []).append(i)
-        lines = [_close_line(toks, page, members) for (page, _), members in groups.items()]
+            lid = toks.line_id[i] or f"inferred_{page_l[i]}_{(y1_l[i] + y2_l[i]) // 2}"
+            groups.setdefault((page_l[i], lid), []).append(i)
+        lines = [_close_line(toks, page, members, x1_l, y1_l, x2_l, y2_l)
+                 for (page, _), members in groups.items()]
         lines.sort(key=lambda L: (L.page, L.y1, L.x1))
         return lines
 
-    yc = toks.yc
-    order = np.lexsort((toks.x1, yc, toks.page))
+    order = sorted(range(n), key=lambda i: (page_l[i], y1_l[i] + y2_l[i], x1_l[i]))
     lines: List[Line] = []
     current: List[int] = []
-    cur_page = int(toks.page[order[0]])
-    band_lo = int(toks.y1[order[0]])
-    band_hi = int(toks.y2[order[0]])
+    cur_page = page_l[order[0]]
+    band_lo = y1_l[order[0]]
+    band_hi = y2_l[order[0]]
 
     for i in order:
-        i = int(i)
-        pg = int(toks.page[i])
-        ty1, ty2 = int(toks.y1[i]), int(toks.y2[i])
+        pg = page_l[i]
+        ty1, ty2 = y1_l[i], y2_l[i]
         if pg != cur_page:
             if current:
-                lines.append(_close_line(toks, cur_page, current))
+                lines.append(_close_line(toks, cur_page, current, x1_l, y1_l, x2_l, y2_l))
             current = [i]
             cur_page = pg
             band_lo, band_hi = ty1, ty2
             continue
         if overlap_ratio(band_lo, band_hi, ty1, ty2) >= 0.5:
             current.append(i)
-            band_lo = min(band_lo, ty1)
-            band_hi = max(band_hi, ty2)
+            if ty1 < band_lo:
+                band_lo = ty1
+            if ty2 > band_hi:
+                band_hi = ty2
         else:
             if current:
-                lines.append(_close_line(toks, cur_page, current))
+                lines.append(_close_line(toks, cur_page, current, x1_l, y1_l, x2_l, y2_l))
             current = [i]
             band_lo, band_hi = ty1, ty2
 
     if current:
-        lines.append(_close_line(toks, cur_page, current))
+        lines.append(_close_line(toks, cur_page, current, x1_l, y1_l, x2_l, y2_l))
 
     lines.sort(key=lambda L: (L.page, L.y1, L.x1))
     return lines

@@ -106,10 +106,15 @@ def run_extraction_resumable(input_dir: str, out_dir: str,
             import pyarrow.dataset as pads
             written = pads.dataset(sdir)
             doc_count = written.count_rows()
-            row_count = sum(
-                pc.sum(pc.list_value_length(b.column("spans"))).as_py() or 0
-                for b in written.to_batches(columns=["spans"])
-            )
+            row_count = 0
+            id_min = id_max = None
+            for b in written.to_batches(columns=["spans", "doc_id"]):
+                row_count += pc.sum(pc.list_value_length(b.column("spans"))).as_py() or 0
+                mm = pc.min_max(b.column("doc_id"))
+                lo_v, hi_v = mm["min"].as_py(), mm["max"].as_py()
+                if lo_v is not None:
+                    id_min = lo_v if id_min is None else min(id_min, lo_v)
+                    id_max = hi_v if id_max is None else max(id_max, hi_v)
         lineage.write_record(out_dir, lineage.LineageRecord(
             shard_id=sid,
             input_files=shard_files,
@@ -117,6 +122,7 @@ def run_extraction_resumable(input_dir: str, out_dir: str,
             row_count=int(row_count),
             doc_count=int(doc_count),
             latency_s=round(t.latency_s, 4),
+            doc_id_range=None if id_min is None else [str(id_min), str(id_max)],
         ))
         ran.append(sid)
     return {"shards_total": len(shards), "shards_skipped": done, "shards_ran": ran}

@@ -34,6 +34,7 @@ class LineageRecord:
     row_count: int
     doc_count: int
     latency_s: float
+    doc_id_range: Optional[List[str]] = None   # [min, max] doc_id in the shard
     extra: Optional[Dict] = None
 
 

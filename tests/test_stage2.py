@@ -293,6 +293,8 @@ def test_resumable_extraction(ray_session, corpus_dir, tmp_path):
     recs = [lineage.load_record(out, s) for s in range(4)]
     assert all(r and r.doc_count > 0 for r in recs)
     assert sum(r.doc_count for r in recs) == 200
+    assert all(r.doc_id_range and r.doc_id_range[0] <= r.doc_id_range[1]
+               for r in recs)
 
     # restart: everything skipped
     r2 = run_extraction_resumable(corpus_dir, out, cfg, num_shards=4)

@@ -149,3 +149,35 @@ def test_html_walker_never_crashes(soup):
     from ocr_table_extractor_to_csv_ray.sources.html import extract_main_content
     r = extract_main_content(soup)
     assert set(r) == {"title", "text", "tables"}
+
+
+# ---------------------------------------------------------------------------
+# transformers compose fuzz: random model labels vs the reference
+
+LABELS = (["OTHER"] + [f"HEADER_COL_{i}" for i in range(7)]
+          + [f"BODY_COL_{i}" for i in range(7)] + ["HEADER_COL_x", "BODY_COL_"])
+
+
+@settings(max_examples=100, deadline=None)
+@given(tokens=st.lists(token_strategy, min_size=1, max_size=30),
+       label_seed=st.integers(0, 2**31),
+       max_columns=st.sampled_from([1, 2, 4, 6]))
+def test_compose_fuzz_matches_reference(tokens, label_seed, max_columns):
+    from ocr_table_extractor_to_csv_ray.core.cleaners import process_grid_data
+    from ocr_table_extractor_to_csv_ray.core.doc import TokenSOA
+    from ocr_table_extractor_to_csv_ray.core.transformers_layout import (
+        Predictions, compose_table)
+    from refimpl import ref_compose, spans_to_ref_tokens
+
+    _, spans = _mk_table(tokens)
+    rng = np.random.default_rng(label_seed)
+    labels = [LABELS[int(rng.integers(0, len(LABELS)))] for _ in tokens]
+
+    ref_toks = spans_to_ref_tokens(spans)
+    rh, rr = ref_compose(ref_toks, labels, max_columns=max_columns)
+
+    toks = TokenSOA.from_lists(
+        [(t, 1, x1, y1, x1 + w, y1 + h) for (t, _p, x1, y1, w, h, _l) in tokens])
+    preds = Predictions.from_labels(toks, labels)
+    eh, er = compose_table(preds, max_columns=max_columns)
+    assert (list(rh), [list(r) for r in rr]) == (eh, process_grid_data(er))

@@ -293,11 +293,58 @@ def adaptive_line_spans(lines: Sequence[Line], toks: TokenSOA
     """Per-line spans with the per-line adaptive gap — computed ONCE and
     shared between the dynamic column model and the dynamic assigner
     (the reference recomputes the identical spans in both,
-    ``column_model.py:110-117`` and ``assign_dynamic.py:50-55``)."""
-    out = []
+    ``column_model.py:110-117`` and ``assign_dynamic.py:50-55``).
+
+    Fused pure-python path over doc-level prefetched lists (tiny-array
+    numpy dispatch dominated otherwise); arithmetic is bit-identical to
+    :func:`line_gap_quantile` + :func:`merge_token_spans`.
+    """
+    x1_l = toks.x1.tolist()
+    x2_l = toks.x2.tolist()
+    text_l = toks.text.tolist()
+    out: List[List[Tuple[int, int, str]]] = []
     for ln in lines:
-        gap = line_gap_quantile(toks, ln.idx, assume_sorted=True)
-        out.append(merge_token_spans(toks, ln.idx, gap, assume_sorted=True))
+        ids = ln.idx.tolist()                     # already x-sorted
+        # --- gap quantile (line_gap_quantile semantics) ---
+        if len(ids) < 2:
+            max_gap = 18
+        else:
+            gaps = [float(x1_l[b] - x2_l[a]) for a, b in zip(ids, ids[1:])
+                    if x1_l[b] - x2_l[a] > 0]
+            if not gaps:
+                max_gap = 18
+            else:
+                gaps.sort()
+                n_g = len(gaps)
+                vi = 0.95 * (n_g - 1)
+                lo = int(vi)
+                t = vi - lo
+                if t == 0.0:
+                    pctl = gaps[lo]
+                else:
+                    x, y = gaps[lo], gaps[lo + 1 if lo + 1 < n_g else n_g - 1]
+                    d = y - x
+                    pctl = x + d * t if t < 0.5 else y - d * (1.0 - t)
+                max_gap = max(12, int(pctl))
+        # --- span merge (merge_token_spans semantics) ---
+        if not ids:
+            out.append([])
+            continue
+        spans: List[Tuple[int, int, str]] = []
+        sx1 = x1_l[ids[0]]
+        sx2 = x2_l[ids[0]]
+        buf = [text_l[ids[0]]]
+        for i in ids[1:]:
+            tx1, tx2 = x1_l[i], x2_l[i]
+            if tx1 - sx2 <= max_gap:
+                buf.append(text_l[i])
+                if tx2 > sx2:
+                    sx2 = tx2
+            else:
+                spans.append((sx1, sx2, " ".join(buf).strip()))
+                sx1, sx2, buf = tx1, tx2, [text_l[i]]
+        spans.append((sx1, sx2, " ".join(buf).strip()))
+        out.append(spans)
     return out
 
 

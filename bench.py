@@ -154,7 +154,9 @@ def run_scaling(sf_dir: str) -> dict:
     # noise, and min-of-k isolates the engine from the neighbors.
     lo, hi = 4, 16
     times = {lo: [], hi: []}
-    for ncpu in (lo, hi, hi, lo):
+    # 3 repeats per level, interleaved: the VM's noise is temporally
+    # correlated, so adjacent same-level runs would both absorb it
+    for ncpu in (lo, hi, lo, hi, lo, hi):
         times[ncpu].append(run(ncpu)["queries"]["extract_dynamic_write"])
     t_lo, t_hi = min(times[lo]), min(times[hi])
     eff = (t_lo / t_hi) / (hi / lo)

@@ -18,7 +18,7 @@ engine-level operators a corpus pipeline needs around it:
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
@@ -42,22 +42,36 @@ def broadcast_join(ds, small_df: pd.DataFrame, key: str,
     return ds.map_batches(_join, batch_format="pandas")
 
 
+_TS_UNIT_TO_US = {"s": 1_000_000, "ms": 1_000, "us": 1}
+
+
 def sessionize(ds, key: str = "user_id", ts: str = "ts",
-               gap_seconds: int = 1800):
+               gap_seconds: int = 1800, ts_unit: str = "us"):
     """Session windows: per key, sort by ``ts``; a new session starts
     where the gap from the previous event exceeds ``gap_seconds``.
 
     Returns one row per (key, session_id) with ``n_events``,
     ``session_start``, ``session_end`` (epoch microseconds, int64).
     SQL-equivalent: ``lag`` + cumulative sum of gap flags.
+
+    ``ts_unit`` declares the epoch unit of a NON-datetime ``ts`` column
+    (``"s"``/``"ms"``/``"us"``) — an epoch-seconds int column compared
+    raw against microsecond gaps would silently never split sessions.
+    Datetime columns carry their own unit and ignore ``ts_unit``.
     """
+    try:
+        to_us = _TS_UNIT_TO_US[ts_unit]
+    except KeyError:
+        raise ValueError(f"ts_unit must be one of {sorted(_TS_UNIT_TO_US)}, "
+                         f"got {ts_unit!r}") from None
+
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(ts, kind="mergesort")
         t = g[ts].to_numpy()
         if np.issubdtype(t.dtype, np.datetime64):
             t = t.astype("datetime64[us]").astype(np.int64)   # epoch us
         else:
-            t = t.astype(np.int64)
+            t = t.astype(np.int64) * to_us
         new_sess = np.ones(len(t), dtype=np.int64)
         if len(t) > 1:
             new_sess[1:] = (t[1:] - t[:-1] > gap_seconds * 1_000_000).astype(np.int64)
@@ -76,39 +90,74 @@ def sessionize(ds, key: str = "user_id", ts: str = "ts",
 
 
 def hash_join(left, right, key: str, num_buckets: int = 32,
-              suffix: str = "_r", how: str = "inner"):
+              suffix: str = "_r", how: str = "inner",
+              hot_keys: Optional[Sequence] = None, salt_factor: int = 8):
     """Explicit partitioned hash join for two LARGE datasets.
 
-    Both sides get ``bucket = crc32(key) % B`` in a vectorized
-    ``map_batches``; the tagged union shuffles ONCE on ``bucket``
-    (``groupby``), and each bucket joins its two sides with a pandas
-    merge inside ``map_groups``. B is the partitioning contract: one
-    bucket (all rows of ~1/B of the key space, both sides) must fit a
-    worker's heap — salt hot keys into sub-buckets if one key dominates.
+    Both sides get a vectorized ``bucket = hash(key) % B`` in
+    ``map_batches`` (``pd.util.hash_pandas_object`` — deterministic
+    siphash, no per-row Python); the tagged union shuffles ONCE on
+    ``bucket`` (``groupby``), and each bucket joins its two sides with a
+    pandas merge inside ``map_groups``. B is the partitioning contract:
+    one bucket (all rows of ~1/B of the key space, both sides) must fit
+    a worker's heap.
+
+    **Hot-key salting**: pass ``hot_keys`` (the few keys that dominate
+    the distribution — e.g. from a cheap pre-count) to split each hot
+    key into ``salt_factor`` sub-buckets. Left rows of a hot key are
+    sprayed across the sub-buckets; right rows of that key are
+    REPLICATED into every sub-bucket, so each sub-bucket still sees the
+    full right side of the key and per-task memory is ~1/salt_factor of
+    the unsalted hot bucket. Join output is identical to the unsalted
+    join for ``inner`` and ``left`` (each left row lands in exactly one
+    sub-bucket).
     (Ray ≥ 2.46 also ships ``Dataset.join`` with the same
     hash-partitioned plan; this spells the pattern out explicitly.)
     """
-    import zlib
-
     left_cols = list(left.schema().names)
     right_cols = list(right.schema().names)
     all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+    hot = frozenset(hot_keys) if hot_keys else None
+    S = max(1, salt_factor) if hot else 1
 
-    def tag(side: str, own_cols):
-        def _t(b: pd.DataFrame) -> pd.DataFrame:
-            b = b.copy()
-            for c in all_cols:          # union needs one schema: pad with NA
-                if c not in b.columns:
-                    b[c] = pd.NA
-            b = b[all_cols]
-            b["__bucket"] = [zlib.crc32(str(k).encode()) % num_buckets
-                             for k in b[key]]
-            b["__side"] = side
-            return b
-        return _t
+    def _pad(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        for c in all_cols:              # union needs one schema: pad with NA
+            if c not in b.columns:
+                b[c] = pd.NA
+        return b[all_cols]
 
-    lt = left.map_batches(tag("l", left_cols), batch_format="pandas")
-    rt = right.map_batches(tag("r", right_cols), batch_format="pandas")
+    def _buckets(col: pd.Series) -> np.ndarray:
+        h = pd.util.hash_pandas_object(col, index=False).to_numpy()
+        return (h % np.uint64(num_buckets)).astype(np.int64)
+
+    def tag_left(b: pd.DataFrame) -> pd.DataFrame:
+        b = _pad(b)
+        bucket = _buckets(b[key]) * S
+        if hot:
+            ishot = b[key].isin(hot).to_numpy()
+            salt = np.zeros(len(b), dtype=np.int64)
+            salt[ishot] = np.arange(int(ishot.sum()), dtype=np.int64) % S
+            bucket = bucket + salt
+        b["__bucket"] = bucket
+        b["__side"] = "l"
+        return b
+
+    def tag_right(b: pd.DataFrame) -> pd.DataFrame:
+        b = _pad(b)
+        b["__bucket"] = _buckets(b[key]) * S
+        b["__side"] = "r"
+        if hot:
+            ishot = b[key].isin(hot).to_numpy()
+            cold = b[~ishot]
+            hot_rows = b[ishot]
+            reps = [hot_rows.assign(__bucket=hot_rows["__bucket"] + s)
+                    for s in range(S)]
+            b = pd.concat([cold, *reps], ignore_index=True)
+        return b
+
+    lt = left.map_batches(tag_left, batch_format="pandas")
+    rt = right.map_batches(tag_right, batch_format="pandas")
     both = lt.union(rt)
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:

@@ -23,7 +23,13 @@ def _md5_prefix(value: str) -> str:
 
 
 def rate_to_threshold(rate: float) -> str:
-    """Keep-rate → 8-hex-digit threshold (lexicographic compare)."""
+    """Keep-rate → threshold for a lexicographic ``<`` compare against an
+    8-hex-digit md5 prefix.  ``rate >= 1.0`` returns ``"g"`` — every hex
+    prefix sorts below it, so "keep everything" IS representable (the
+    hex cap ``ffffffff`` with strict ``<`` would drop rows hashing to
+    exactly ``ffffffff``); the same literal works in the SQL oracle."""
+    if rate >= 1.0:
+        return "g"
     return format(min(int(rate * 16 ** 8), 16 ** 8 - 1), "08x")
 
 
@@ -31,17 +37,28 @@ def stratified_sample(ds, rates: Dict[str, float], stratum_column: str = "lang",
                       id_column: str = "doc_id",
                       default_rate: float = 0.0):
     """Keep each row iff ``md5(str(id))[:8] < threshold(stratum rate)``."""
+    import numpy as np
+
     thresholds = {k: rate_to_threshold(v) for k, v in rates.items()}
     default_thr = rate_to_threshold(default_rate)
+    md5 = hashlib.md5
 
     def _filter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
         ids = t[id_column].to_pylist()
-        strata = t[stratum_column].to_pylist()
-        mask = [
-            _md5_prefix(str(i)) < thresholds.get(s, default_thr)
-            for i, s in zip(ids, strata)
-        ]
-        return t.filter(pa.array(mask))
+        # md5 per row is irreducible (the SQL-reproducibility contract);
+        # the stratum→threshold lookup is vectorized via factorize+take
+        prefixes = np.array([md5(str(i).encode("utf-8")).hexdigest()[:8]
+                             for i in ids])
+        strata = pd.Series(t[stratum_column].to_pandas())
+        codes, uniq = pd.factorize(strata)
+        thr_per_uniq = np.array([thresholds.get(s, default_thr) for s in uniq])
+        if len(thr_per_uniq) == 0:        # all-null stratum column
+            thr = np.full(len(codes), default_thr)
+        else:
+            thr = np.where(codes >= 0, thr_per_uniq[codes], default_thr)
+        return t.filter(pa.array(prefixes < thr))
 
     return ds.map_batches(_filter, batch_format="pyarrow")
 

@@ -31,6 +31,14 @@ def _unit(m: np.ndarray) -> np.ndarray:
 
 def _topk_batch(t: pa.Table, q_ref, k: int, id_column: str, vec_column: str) -> pa.Table:
     import ray
+    if t.num_rows == 0:
+        # empty block (e.g. knn_ivf filtered every row out): emit the
+        # (query_id, id, score) schema so downstream unification holds
+        return pa.table({
+            "query_id": pa.array([], pa.int64()),
+            id_column: pa.chunked_array([], t.schema.field(id_column).type),
+            "score": pa.array([], pa.float64()),
+        })
     q = ray.get(q_ref) if not isinstance(q_ref, np.ndarray) else q_ref  # (nq, dim) unit rows
     mat = _unit(_mat(t[vec_column]).astype(np.float64))
     sims = mat @ q.T                                  # (n, nq)

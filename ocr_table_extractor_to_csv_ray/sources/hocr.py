@@ -46,6 +46,16 @@ def parse_bbox(title_attr: Optional[str]) -> Optional[Tuple[int, int, int, int]]
     return x1, y1, x2, y2
 
 
+# HTML void elements never receive an end tag from html.parser; they
+# must not participate in word-depth tracking or a single ``<br>``
+# inside a word would unbalance the depth for the rest of the page
+# (lxml/bs4 in the reference handle these natively).
+VOID_ELEMENTS = frozenset({
+    "area", "base", "br", "col", "embed", "hr", "img", "input",
+    "link", "meta", "param", "source", "track", "wbr",
+})
+
+
 class _HocrWalker(HTMLParser):
     """One pass: collect pages, and per page the ocr_lines (id, bbox)
     and ocrx_words (text, bbox) in document order."""
@@ -62,6 +72,8 @@ class _HocrWalker(HTMLParser):
         return dict(attrs).get("class") or ""
 
     def handle_starttag(self, tag, attrs):
+        if tag in VOID_ELEMENTS:
+            return  # no end tag ever comes; can't contain word text
         ad = dict(attrs)
         cls = ad.get("class") or ""
         if "ocr_page" in cls:
@@ -76,6 +88,8 @@ class _HocrWalker(HTMLParser):
             self._word_depth = 1
 
     def handle_endtag(self, tag):
+        if tag in VOID_ELEMENTS:
+            return  # e.g. a stray </br> — starttag didn't track it either
         if self._word_depth > 0:
             self._word_depth -= 1
             if self._word_depth == 0 and self._cur_word is not None:
@@ -87,6 +101,18 @@ class _HocrWalker(HTMLParser):
     def handle_data(self, data):
         if self._word_depth > 0 and self._cur_word is not None:
             self._cur_word["text"].append(data)
+
+    def close(self):
+        super().close()
+        # truncated / unclosed markup: flush the pending word so a
+        # missing close tag loses nothing (lenient-parse intent of the
+        # reference's parser.py:7-14 fallback)
+        if self._cur_word is not None and self.pages:
+            w = self._cur_word
+            self.pages[-1]["words"].append(
+                {"bbox": w["bbox"], "text": "".join(w["text"])})
+            self._cur_word = None
+            self._word_depth = 0
 
 
 def parse_hocr_tokens(hocr_text: str,

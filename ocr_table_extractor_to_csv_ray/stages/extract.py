@@ -126,8 +126,13 @@ def extract_batch(tbl: pa.Table, cfg: LayoutConfig) -> pa.Table:
     n_cols = np.zeros(n, dtype=np.int32)
     errors: List[str] = [""] * n
     out_layout: List[str] = [cfg.layout] * n
-    emit_numeric = cfg.layout == "dynamic" or (
-        row_layouts is not None and "dynamic" in set(row_layouts))
+    # Schema must be BATCH-INVARIANT: decide from config / input schema
+    # only, never from this batch's row values — otherwise blocks of one
+    # dataset disagree on whether ``spans_numeric`` exists and parquet /
+    # union schema unification breaks. With a ``layout`` column present
+    # ANY batch may contain dynamic rows, so always emit the column
+    # (empty lists for non-dynamic rows).
+    emit_numeric = cfg.layout == "dynamic" or row_layouts is not None
 
     for i in range(n):
         lo, hi = word_offsets[i], word_offsets[i + 1]

@@ -78,9 +78,13 @@ def test_stratified_sample_stable(ray_session):
     from ocr_table_extractor_to_csv_ray.functions.sampling import (
         rate_to_threshold, stratified_sample)
     assert rate_to_threshold(0.5) == "80000000"
-    assert rate_to_threshold(1.0) == "ffffffff"
+    # rate >= 1.0 must mean KEEP ALL: 'g' sorts above every hex prefix,
+    # whereas the hex cap 'ffffffff' with strict < drops ~2^-32 of rows
+    assert rate_to_threshold(1.0) == "g"
     t = pa.table({"doc_id": pa.array(range(1000), pa.int64()),
                   "lang": pa.array(["en", "xx"] * 500)})
+    full = stratified_sample(rd.from_arrow(t), {"en": 1.0, "xx": 1.0})
+    assert full.count() == 1000                           # keep-everything
     out1 = stratified_sample(rd.from_arrow(t), {"en": 0.5}, default_rate=0.0)
     ids1 = set(out1.to_pandas()["doc_id"])
     out2 = stratified_sample(rd.from_arrow(t), {"en": 0.5}, default_rate=0.0)
@@ -100,3 +104,46 @@ def test_topk_per_group(ray_session):
     # ties (9,9) broken by ascending doc_id
     assert list(out["doc_id"]) == [2, 3, 6, 5]
     assert list(out["rank"]) == [1, 2, 1, 2]
+
+
+def test_hash_join_hot_key_salted(ray_session):
+    # one key holds 50% of the left rows: the salted join must still
+    # equal the pandas merge (each left row lands in exactly one
+    # sub-bucket; right hot rows are replicated across sub-buckets)
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.join import hash_join
+    rng = np.random.default_rng(7)
+    hot_half = np.full(300, 42)
+    cold = rng.integers(0, 50, 300)
+    left = pd.DataFrame({"k": np.concatenate([hot_half, cold]),
+                         "a": np.arange(600)})
+    right = pd.DataFrame({"k": np.concatenate([[42, 42], rng.integers(0, 50, 40)]),
+                          "b": np.arange(42)})
+    for how in ("inner", "left"):
+        got = (hash_join(rd.from_pandas(left), rd.from_pandas(right), "k",
+                         num_buckets=5, hot_keys=[42], salt_factor=4, how=how)
+               .to_pandas().sort_values(["k", "a", "b"]).reset_index(drop=True))
+        want = (left.merge(right, on="k", how=how)
+                .sort_values(["k", "a", "b"]).reset_index(drop=True))
+        assert len(got) == len(want)
+        pd.testing.assert_frame_equal(
+            got[["k", "a"]].astype("int64"), want[["k", "a"]].astype("int64"))
+        pd.testing.assert_frame_equal(got["b"].astype("float64").to_frame(),
+                                      want["b"].astype("float64").to_frame())
+
+
+def test_sessionize_ts_unit(ray_session):
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.join import sessionize
+    # epoch-SECONDS ints: gap of 7200s > 1800s must split, 60s must not
+    t = pa.table({"user_id": pa.array(["u"] * 3),
+                  "ts": pa.array([1000, 1060, 1060 + 7200], pa.int64())})
+    out = sessionize(rd.from_arrow(t), gap_seconds=1800, ts_unit="s").to_pandas()
+    assert sorted(out["session_id"]) == [1, 2]
+    assert out["n_events"].sum() == 3
+    # microsecond interpretation of the same ints: all gaps tiny -> 1 session
+    out_us = sessionize(rd.from_arrow(t), gap_seconds=1800).to_pandas()
+    assert list(out_us["session_id"]) == [1]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sessionize(rd.from_arrow(t), ts_unit="ns")

@@ -89,3 +89,18 @@ def test_per_row_layout_dispatch(corpus_200):
         if lay == "dynamic":
             assert out["spans_numeric"].to_pylist()[i] == \
                 per_layout[lay]["spans_numeric"].to_pylist()[i]
+
+def test_layout_dispatch_schema_batch_invariant(corpus_200):
+    """Output schema must not depend on a batch's row VALUES: with a
+    `layout` column present, every batch emits `spans_numeric` (empty
+    for non-dynamic rows) so blocks of one dataset unify."""
+    import pyarrow as pa
+    sample = corpus_200.slice(0, 8).select(["doc_id", "spans"])
+    no_dyn = sample.append_column("layout", pa.array(["generic"] * 8))
+    out = extract_batch(no_dyn, LayoutConfig(layout="generic"))
+    assert "spans_numeric" in out.column_names
+    assert all(v == [] for v in out["spans_numeric"].to_pylist())
+    with_dyn = sample.append_column(
+        "layout", pa.array(["dynamic"] * 4 + ["generic"] * 4))
+    out2 = extract_batch(with_dyn, LayoutConfig(layout="generic"))
+    assert out.schema == out2.schema

@@ -129,3 +129,29 @@ def test_seeded_shuffle_split(ray_session, corpus_dir):
     ds = rd.read_parquet(corpus_dir, columns=["doc_id"])
     tr, ev = seeded_shuffle_split(ds, eval_ratio=0.2, seed=3)
     assert tr.count() == 160 and ev.count() == 40
+
+
+def test_hocr_void_elements_do_not_break_words():
+    # html.parser never delivers an end tag for <br>/<img>; depth
+    # tracking must skip voids or every later word on the page merges
+    from ocr_table_extractor_to_csv_ray.sources.hocr import parse_hocr_tokens
+    h = ('<div class="ocr_page" title="bbox 0 0 100 100">'
+         '<span class="ocrx_word" title="bbox 0 0 10 10">Hello<br>World</span>'
+         '<span class="ocrx_word" title="bbox 20 0 30 10">Next</span>'
+         '<span class="ocrx_word" title="bbox 40 0 50 10">A<img src="x">B</span>'
+         '</div>')
+    toks = parse_hocr_tokens(h)
+    assert [t[0] for t in toks] == ["HelloWorld", "Next", "AB"]
+    # self-closing voids and stray </br> likewise
+    h2 = ('<div class="ocr_page" title="bbox 0 0 100 100">'
+          '<span class="ocrx_word" title="bbox 0 0 10 10">a<br/>b</br></span>'
+          '<span class="ocrx_word" title="bbox 20 0 30 10">c</span></div>')
+    assert [t[0] for t in parse_hocr_tokens(h2)] == ["ab", "c"]
+
+
+def test_hocr_truncated_word_flushed():
+    # unclosed word at EOF: the lenient close() flush keeps its text
+    from ocr_table_extractor_to_csv_ray.sources.hocr import parse_hocr_tokens
+    h = ('<div class="ocr_page" title="bbox 0 0 100 100">'
+         '<span class="ocrx_word" title="bbox 0 0 10 10">tail')
+    assert [t[0] for t in parse_hocr_tokens(h)] == ["tail"]

@@ -409,3 +409,28 @@ def test_exact_vocab(ray_session):
     from ocr_table_extractor_to_csv_ray.functions.sketch import exact_vocab_size
     # tokens: a b c d and the empty-split token of ""
     assert exact_vocab_size(rd.from_arrow(t)) == 5
+
+def test_knn_empty_batch_and_block(ray_session):
+    """_topk_batch on a 0-row block returns the output schema (ADVICE:
+    knn_ivf can filter a whole block empty, data-dependently)."""
+    import ray.data as rd
+    import numpy as np
+    from ocr_table_extractor_to_csv_ray.functions.similarity import (
+        _topk_batch, knn_bruteforce, knn_ivf)
+    rng = np.random.default_rng(0)
+    t = pa.table({"vec_id": pa.array([], pa.int64()),
+                  "embedding": pa.array([], pa.list_(pa.float32()))})
+    q = np.eye(3, 8)
+    out = _topk_batch(t, q, k=3, id_column="vec_id", vec_column="embedding")
+    assert out.num_rows == 0
+    assert out.column_names == ["query_id", "vec_id", "score"]
+    # end-to-end: many tiny blocks so IVF probing empties some of them
+    vecs = rng.normal(size=(60, 8)).astype("float32")
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(60), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })).repartition(30)
+    out2 = knn_ivf(ds, q[:2], k=3, n_clusters=8, n_probe=1,
+                   sample_size=60).to_pandas()
+    assert set(out2["query_id"]) == {0, 1}

@@ -8,26 +8,38 @@ Shuffle discipline (the point at 100 TB):
   group — the only all-to-all, and it moves (hash, doc_id) pairs, not
   document text (generalizes the reference's path-pair dedup set,
   ``dataset_cli.py:189-195``).
-- **MinHash-LSH**: signatures per batch (no shuffle) → explode to
-  ``(band, band_key, doc_id)`` rows, ~rows × n_bands small ints → ONE
-  ``groupby(band, band_key)`` emitting candidate pairs → pairs verified
-  by signature-estimated (or exact n-gram) Jaccard → union-find over
-  the (tiny) surviving pair set on the driver → broadcast cluster map.
+- **MinHash-LSH**: signatures per batch (no shuffle), text DROPPED
+  before the signature set materializes (~1 KB/doc, never the corpus) →
+  explode to ``(band, band_key, doc_id)`` rows → ONE ``groupby`` counts
+  bucket sizes → the (small) duplicate-key set broadcasts back as a
+  vectorized ``pc.is_in`` filter → only duplicate-bucket rows (carrying
+  their signatures) shuffle into per-bucket ``map_groups`` tasks that
+  pair AND verify locally → the verified-pair Dataset is tiny.
 - **SimHash**: 64-bit fingerprints per batch → band buckets (4×16 bit)
-  → same candidate/verify/cluster path with Hamming distance.
+  → same candidate path, Hamming verify inside the bucket task.
 - **embedding near-dup**: random-hyperplane LSH buckets per batch →
-  within-bucket pairwise cosine ≥ τ → union-find.
+  within-bucket pairwise cosine ≥ τ inside the bucket task (vectors
+  never visit the driver).
 
-The union-find runs on candidate PAIRS, never on documents: with sane
-thresholds pairs ≪ corpus. At 100 TB replace the driver union-find
-with a few rounds of min-label propagation (groupby on component id);
-the pair-generation stages are unchanged.
+Oversized buckets (≥ ``star_cap`` members — e.g. 10k copies of one
+page) are paired as a STAR to the bucket's min id instead of all-pairs:
+n−1 candidate edges, not n², and the star keeps cluster diameter ≤ 2 so
+label propagation converges in a couple of rounds. Members of one LSH
+bucket at sane thresholds are near-identical, so star verification
+finds the same clusters as the quadratic sweep.
+
+Clustering: ``cluster_mode="driver"`` (default) runs union-find over
+the verified pairs on the driver — pairs ≪ corpus with sane thresholds.
+``cluster_mode="propagate"`` runs distributed min-label propagation
+(:func:`propagate_min_labels`) — per-round ``hash_join`` + ``groupby``
+over the pair set, the 100 TB path where even the pair set outgrows one
+machine.
 """
 
 from __future__ import annotations
 
 import hashlib
-from typing import Dict, Iterable, List, Tuple
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
@@ -131,7 +143,7 @@ def estimated_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
 
 
 # ---------------------------------------------------------------------------
-# LSH banding → candidate pairs → clusters
+# LSH banding → duplicate buckets → per-bucket verified pairs → clusters
 
 def band_keys(sigs: np.ndarray, n_bands: int) -> np.ndarray:
     """(n_docs, n_bands) uint64 band keys: mix each band's rows."""
@@ -150,94 +162,134 @@ def band_keys(sigs: np.ndarray, n_bands: int) -> np.ndarray:
     return keys
 
 
-def explode_bands_batch(batch: pa.Table, n_bands: int = 16) -> pa.Table:
+def explode_bands_batch(batch: pa.Table, n_bands: int = 16,
+                        carry_cols: Sequence[str] = ()) -> pa.Table:
     """``(doc_id, minhash)`` rows → ``(band, band_key, doc_id)`` rows.
 
     Shingle-less documents (empty/one-token text) are NOT banded: they
     all share the sentinel signature and would form one giant O(n²)
     candidate clique at corpus scale. Exact dedup owns the empty-text
-    case."""
+    case.
+
+    ``carry_cols`` replicates extra columns (e.g. the signature itself)
+    onto the exploded rows — used only on the SECOND, already-filtered
+    pass so the n_bands× blow-up never applies to the whole corpus.
+    """
     if "n_shingles" in batch.column_names:
         batch = batch.filter(pc.greater(batch["n_shingles"], pa.scalar(0)))
     mh = batch["minhash"].combine_chunks() if isinstance(batch["minhash"], pa.ChunkedArray) else batch["minhash"]
     n_docs = len(mh)
     if n_docs == 0:
-        return pa.table({
+        cols = {
             "band": pa.array([], pa.int32()),
             "band_key": pa.array([], pa.int64()),
             "doc_id": pa.array([], batch["doc_id"].type),
-        })
+        }
+        for c in carry_cols:
+            cols[c] = batch[c]
+        return pa.table(cols)
     n_perm = mh.type.list_size
     sigs = np.asarray(mh.values.to_numpy(zero_copy_only=False)).astype(np.uint64).reshape(n_docs, n_perm)
     keys = band_keys(sigs, n_bands)
     doc_ids = batch["doc_id"].combine_chunks() if isinstance(batch["doc_id"], pa.ChunkedArray) else batch["doc_id"]
     band = np.tile(np.arange(n_bands, dtype=np.int32), n_docs)
     idx = pa.array(np.repeat(np.arange(n_docs, dtype=np.int64), n_bands))
-    return pa.table({
+    cols = {
         "band": pa.array(band),
         "band_key": pa.array(keys.reshape(-1).astype(np.int64)),
         "doc_id": doc_ids.take(idx),
-    })
+    }
+    for c in carry_cols:
+        col = batch[c].combine_chunks() if isinstance(batch[c], pa.ChunkedArray) else batch[c]
+        cols[c] = col.take(idx)
+    return pa.table(cols)
 
 
-def _pairs_from_group(g: pd.DataFrame) -> pd.DataFrame:
-    """All intra-bucket candidate pairs (buckets are tiny by design)."""
-    ids = np.sort(g["doc_id"].to_numpy())
-    if len(ids) < 2:
-        return pd.DataFrame({"left": [], "right": []}, dtype=ids.dtype)
-    iu, ju = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"left": ids[iu], "right": ids[ju]})
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+# buckets with ≥ star_cap members switch from all-pairs to star pairing
+STAR_CAP = 64
+
+
+def _fused_batch(t: pa.Table, key_cols: Sequence[str]) -> pa.Table:
+    """Append ``__bkey``: one int64 fusing the bucket key columns.
+
+    A (vanishingly unlikely) fuse collision merely merges two buckets —
+    extra candidate pairs that verification then rejects, never a
+    correctness change."""
+    k = np.zeros(t.num_rows, np.uint64)
+    with np.errstate(over="ignore"):
+        for c in key_cols:
+            col = np.asarray(t[c].to_numpy(zero_copy_only=False)).astype(np.uint64)
+            k = k * _GOLD + col
+    out = t
+    if "__bkey" in out.column_names:
+        out = out.drop_columns(["__bkey"])
+    return out.append_column("__bkey", pa.array(k.view(np.int64)))
+
+
+def _dup_keys_ref(banded, key_cols: Sequence[str]):
+    """Fused keys of buckets with ≥ 2 members → broadcast ``ray.put``
+    ref of an int64 ``pa.array`` (or None if no duplicate bucket).
+
+    One Arrow-native ``groupby.count()`` over ONLY the key columns —
+    the corpus-scale stream never shuffles payload here."""
+    import functools
+    import ray
+
+    fused = banded.select_columns(list(key_cols)).map_batches(
+        functools.partial(_fused_batch, key_cols=key_cols),
+        batch_format="pyarrow",
+    )
+    counts = fused.groupby("__bkey").count()
+    cnt_col = [c for c in counts.schema().names if c != "__bkey"][0]
+    dup = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t[cnt_col], pa.scalar(2))),
+        batch_format="pyarrow",
+    ).select_columns(["__bkey"]).to_pandas()
+    if len(dup) == 0:
+        return None
+    return ray.put(pa.array(dup["__bkey"].to_numpy(), pa.int64()))
+
+
+def _filter_dup_rows(banded, key_cols: Sequence[str], keys_ref):
+    """Vectorized broadcast filter: keep rows whose fused bucket key is
+    in the duplicate-key set (``pc.is_in``, no per-row Python)."""
+    import functools
+    import ray
+
+    def _f(t: pa.Table) -> pa.Table:
+        t = _fused_batch(t, key_cols)
+        ks = ray.get(keys_ref)
+        return t.filter(pc.is_in(t["__bkey"], value_set=ks))
+
+    return banded.map_batches(_f, batch_format="pyarrow")
+
+
+def _bucket_pair_idx(m: int, cap: int = STAR_CAP) -> Tuple[np.ndarray, np.ndarray]:
+    """Candidate index pairs for an m-member bucket (ids sorted asc):
+    all-pairs below ``cap``, star-to-min-id above (n−1 edges, diameter
+    ≤ 2 — label propagation converges in ~2 rounds even for a 10k-copy
+    cluster)."""
+    if m < 2:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    if m <= cap:
+        iu, ju = np.triu_indices(m, k=1)
+        return iu.astype(np.int64), ju.astype(np.int64)
+    return np.zeros(m - 1, np.int64), np.arange(1, m, dtype=np.int64)
+
+
+def _empty_pairs(like: np.ndarray) -> pd.DataFrame:
+    return pd.DataFrame({"left": like[:0], "right": like[:0]})
 
 
 def _collect_pairs(pairs_ds) -> pd.DataFrame:
-    """Materialize the (small) candidate-pair set; normalize the empty
+    """Materialize the (small) verified-pair set; normalize the empty
     case (an empty grouped dataset has no columns at all)."""
     df = pairs_ds.to_pandas()
     if len(df) == 0 or "left" not in df.columns:
         return pd.DataFrame({"left": [], "right": []})
-    return df.drop_duplicates()
-
-
-def _dup_bucket_rows(banded, key_cols: List[str]) -> pd.DataFrame:
-    """Rows of ``banded`` that share a bucket with at least one other row.
-
-    Two cheap passes instead of a per-bucket ``map_groups`` (which costs
-    one Python task per bucket — with mostly-singleton buckets that is
-    O(corpus) tiny tasks):
-      1. Arrow-native ``groupby.count()`` → the (small) set of buckets
-         with ≥ 2 members;
-      2. broadcast that key set, vectorized filter of ``banded``.
-    The surviving rows (≪ corpus for any sane threshold) come to the
-    driver for pairing/verification.
-    """
-    import ray
-
-    counts = banded.groupby(key_cols).count()
-    cnt_col = [c for c in counts.schema().names if c not in key_cols][0]
-    dup_keys = counts.map_batches(
-        lambda t: t.filter(pc.greater_equal(t[cnt_col], pa.scalar(2))),
-        batch_format="pyarrow").to_pandas()
-    if len(dup_keys) == 0:
-        return pd.DataFrame()
-    keyset = set(zip(*(dup_keys[c] for c in key_cols)))
-    key_ref = ray.put(keyset)
-
-    def _filter(t: pa.Table) -> pa.Table:
-        ks = ray.get(key_ref)
-        cols = [t[c].to_pylist() for c in key_cols]
-        mask = [tup in ks for tup in zip(*cols)]
-        return t.filter(pa.array(mask))
-
-    return banded.map_batches(_filter, batch_format="pyarrow").to_pandas()
-
-
-def _pairs_from_dup_rows(rows: pd.DataFrame, key_cols: List[str]) -> pd.DataFrame:
-    """Driver-side pairing over the (small) duplicate-bucket rows."""
-    if len(rows) == 0:
-        return pd.DataFrame({"left": [], "right": []})
-    out = [_pairs_from_group(g) for _, g in rows.groupby(key_cols)]
-    pairs = pd.concat(out, ignore_index=True) if out else pd.DataFrame({"left": [], "right": []})
-    return pairs.drop_duplicates()
+    return df[["left", "right"]].drop_duplicates()
 
 
 class UnionFind:
@@ -267,9 +319,164 @@ def clusters_from_pairs(pairs: Iterable[Tuple]) -> Dict:
     return {x: uf.find(x) for x in list(uf.parent)}
 
 
+def propagate_min_labels(pairs_ds, max_rounds: int = 10):
+    """Distributed connected components over a verified-pair edge
+    Dataset: min-label propagation, the documented 100 TB replacement
+    for the driver union-find.
+
+    Each round: every node sends its current label to its neighbors
+    (one ``hash_join`` of the symmetric edge list against the label
+    table), then ``groupby(node).min(label)`` folds incoming labels.
+    Converges to label = min id of the connected component in diameter
+    rounds (star-capped buckets keep diameters tiny); a streaming
+    XOR-hash checksum detects the fixed point without collecting the
+    label table. Returns a Dataset ``(node, label)``.
+    """
+    from ray.data.aggregate import Min
+    from .join import hash_join
+
+    def _sym(t: pa.Table) -> pa.Table:
+        l = t["left"].combine_chunks() if isinstance(t["left"], pa.ChunkedArray) else t["left"]
+        r = t["right"].combine_chunks() if isinstance(t["right"], pa.ChunkedArray) else t["right"]
+        return pa.table({
+            "node": pa.concat_arrays([l, r]),
+            "nbr": pa.concat_arrays([r, l]),
+        })
+
+    edges = pairs_ds.map_batches(_sym, batch_format="pyarrow").materialize()
+
+    def _self_min(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["label"] = np.where(b["node"] < b["label"], b["node"], b["label"])
+        return b
+
+    # fixed block count: the per-round union+groupby would otherwise
+    # multiply tiny blocks every iteration and scheduling overhead
+    # doubles per round
+    n_blocks = max(8, edges.num_blocks() if hasattr(edges, "num_blocks") else 8)
+    labels = (edges.groupby("node").aggregate(Min("nbr", alias_name="label"))
+              .map_batches(_self_min, batch_format="pandas")
+              .select_columns(["node", "label"])
+              .repartition(n_blocks).materialize())
+
+    def _checksum(ds) -> int:
+        def _h(b: pd.DataFrame) -> pd.DataFrame:
+            # astype(str) first: the physical dtype of a column can flip
+            # between rounds (object vs arrow string) and would make the
+            # checksum unstable on identical content
+            h = (pd.util.hash_pandas_object(b["node"].astype(str), index=False).to_numpy()
+                 ^ pd.util.hash_pandas_object(b["label"].astype(str), index=False).to_numpy())
+            s = int(h.astype(np.uint64).sum(dtype=np.uint64) & np.uint64(0x7FFFFFFFFFFFFFFF))
+            return pd.DataFrame({"h": [s]})
+        return ds.map_batches(_h, batch_format="pandas").sum("h")
+
+    prev = _checksum(labels)
+    for _ in range(max_rounds):
+        msgs = hash_join(edges, labels, key="node")     # (node, nbr, label)
+
+        def _to_nbr(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"node": b["nbr"], "label": b["label"]})
+
+        incoming = msgs.map_batches(_to_nbr, batch_format="pandas")
+        labels = (labels.union(incoming)
+                  .groupby("node").aggregate(Min("label", alias_name="label"))
+                  .select_columns(["node", "label"])
+                  .repartition(n_blocks).materialize())
+        cur = _checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
+def _drop_filter(ds, drop: set, id_column: str):
+    """Vectorized broadcast anti-filter: drop rows whose id is in the
+    (small) non-canonical-duplicate set."""
+    import ray
+
+    arr = pa.array(sorted(drop))
+    ref = ray.put(arr)
+
+    def _f(t: pa.Table) -> pa.Table:
+        ids = ray.get(ref)
+        return t.filter(pc.invert(pc.is_in(t[id_column], value_set=ids)))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def _cluster_and_filter(ds, verified_pairs_ds, id_column: str,
+                        cluster_mode: str = "driver"):
+    """Verified-pair Dataset → (survivors_ds, {doc_id: cluster_id})."""
+    if cluster_mode == "propagate":
+        labels = propagate_min_labels(verified_pairs_ds).to_pandas()
+        if "node" not in labels.columns:      # no verified pair at all
+            labels = pd.DataFrame({"node": [], "label": []})
+        cluster = dict(zip(labels["node"], labels["label"]))
+    else:
+        pairs = _collect_pairs(verified_pairs_ds)
+        cluster = clusters_from_pairs(zip(pairs["left"], pairs["right"]))
+    drop = {d for d, c in cluster.items() if d != c}
+    if drop:
+        return _drop_filter(ds, drop, id_column), cluster
+    return ds, cluster
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup
+
+def _minhash_verify_group(g: pd.DataFrame, threshold: float,
+                          cap: int = STAR_CAP) -> pd.DataFrame:
+    """One LSH bucket → verified pairs (signature-estimated Jaccard),
+    entirely inside the bucket task — signatures never visit the driver."""
+    ids = g["doc_id"].to_numpy()
+    order = np.argsort(ids, kind="mergesort")
+    ids = ids[order]
+    sig = np.stack([np.asarray(s, dtype=np.uint64)
+                    for s in g["minhash"].to_numpy()[order]])
+    iu, ju = _bucket_pair_idx(len(ids), cap)
+    if len(iu) == 0:
+        return _empty_pairs(ids)
+    sim = (sig[iu] == sig[ju]).mean(axis=1)
+    keep = sim >= threshold
+    return pd.DataFrame({"left": ids[iu[keep]], "right": ids[ju[keep]]})
+
+
+def _pool_size(requested: int) -> int:
+    """Cap an actor pool below the CPU count: a pool that claims every
+    CPU starves the upstream read / downstream shuffle tasks and the
+    streaming executor stalls (same guard as
+    ``pipelines/transformers.py::_pool_sizes``)."""
+    import ray
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", requested + 2))
+    except Exception:
+        return requested
+    return max(1, min(requested, cpus - 2))
+
+
+def minhash_signatures(ds, n_perm: int = 128, k: int = 3, seed: int = 7,
+                       concurrency: int = 4):
+    """``(doc_id, text)`` → MATERIALIZED ``(doc_id, minhash, n_shingles)``.
+
+    The signature set is consumed multiple times (band counting,
+    dup-row filter, verification) and re-deriving it means re-shingling
+    the corpus each time — so it materializes, but text is dropped
+    FIRST: the object store holds ~1 KB/doc (n_perm × 8 B), never the
+    corpus text. At a scale where even that outgrows the store,
+    checkpoint to parquet instead — same shape.
+    """
+    return (ds.select_columns(["doc_id", "text"])
+            .map_batches(MinHashStage, batch_format="pyarrow",
+                         fn_constructor_kwargs={"n_perm": n_perm, "k": k,
+                                                "seed": seed},
+                         concurrency=_pool_size(concurrency))
+            .select_columns(["doc_id", "minhash", "n_shingles"])
+            .materialize())
+
+
 def minhash_lsh_dedup(ds, n_perm: int = 128, n_bands: int = 16, k: int = 3,
                       threshold: float = 0.8, seed: int = 7,
-                      concurrency: int = 4):
+                      concurrency: int = 4, cluster_mode: str = "driver"):
     """Full near-dup pipeline; returns ``(survivors_ds, cluster_map)``.
 
     survivors_ds = input rows minus non-canonical near-dup members
@@ -278,62 +485,29 @@ def minhash_lsh_dedup(ds, n_perm: int = 128, n_bands: int = 16, k: int = 3,
     """
     import functools
 
-    # materialized: the signature set is consumed three times (banding,
-    # bucket counting, candidate verify) and re-deriving it means
-    # re-shingling the whole corpus each time. ~1 KB/doc (n_perm × 8 B);
-    # at a scale where that outgrows the object store, checkpoint to
-    # parquet instead — the pipeline shape is unchanged.
-    sigs = ds.select_columns(["doc_id", "text"]).map_batches(
-        MinHashStage, batch_format="pyarrow",
-        fn_constructor_kwargs={"n_perm": n_perm, "k": k, "seed": seed},
-        concurrency=concurrency,
-    ).materialize()
-    banded = sigs.select_columns(["doc_id", "minhash", "n_shingles"]).map_batches(
+    sigs = minhash_signatures(ds, n_perm=n_perm, k=k, seed=seed,
+                              concurrency=concurrency)
+    key_cols = ["band", "band_key"]
+    keys_only = sigs.map_batches(
         functools.partial(explode_bands_batch, n_bands=n_bands),
         batch_format="pyarrow",
     )
-    dup_rows = _dup_bucket_rows(banded.select_columns(["band", "band_key", "doc_id"]),
-                                ["band", "band_key"])
-    pairs = _pairs_from_dup_rows(dup_rows, ["band", "band_key"])
-
-    # verify candidates by signature-estimated Jaccard (broadcast sigs of
-    # candidate docs only)
-    cand_ids = set(pairs["left"]).union(pairs["right"]) if len(pairs) else set()
-    verified: List[Tuple] = []
-    if cand_ids:
-        import ray
-        id_arr = pa.array(sorted(cand_ids))
-        sig_tbl = (
-            sigs.map_batches(
-                lambda t: t.filter(pc.is_in(t["doc_id"], value_set=id_arr)),
-                batch_format="pyarrow",
-            )
-            .select_columns(["doc_id", "minhash"])
-            .to_pandas()
-        )
-        sig_map = {
-            r.doc_id: np.asarray(r.minhash, dtype=np.uint64)
-            for r in sig_tbl.itertuples()
-        }
-        for left, right in zip(pairs["left"], pairs["right"]):
-            if estimated_jaccard(sig_map[left], sig_map[right]) >= threshold:
-                verified.append((left, right))
-    cluster = clusters_from_pairs(verified)
-    drop = {d for d, c in cluster.items() if d != c}
-    if drop:
-        import ray
-        drop_ref = ray.put(drop)
-
-        def _filter(t: pa.Table) -> pa.Table:
-            import ray as _ray
-            dset = _ray.get(drop_ref)
-            mask = [d not in dset for d in t["doc_id"].to_pylist()]
-            return t.filter(pa.array(mask))
-
-        survivors = ds.map_batches(_filter, batch_format="pyarrow")
-    else:
-        survivors = ds
-    return survivors, cluster
+    keys_ref = _dup_keys_ref(keys_only, key_cols)
+    if keys_ref is None:
+        return ds, {}
+    # second explode carries the signature — only onto rows that
+    # survive the duplicate-bucket filter (≪ corpus)
+    with_sigs = sigs.map_batches(
+        functools.partial(explode_bands_batch, n_bands=n_bands,
+                          carry_cols=["minhash"]),
+        batch_format="pyarrow",
+    )
+    dup_rows = _filter_dup_rows(with_sigs, key_cols, keys_ref)
+    verified = dup_rows.groupby("__bkey").map_groups(
+        functools.partial(_minhash_verify_group, threshold=threshold),
+        batch_format="pandas",
+    )
+    return _cluster_and_filter(ds, verified, "doc_id", cluster_mode)
 
 
 # ---------------------------------------------------------------------------
@@ -348,51 +522,67 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     return inter / union if union else 0.0
 
 
+def _candidate_pairs_group(g: pd.DataFrame, cap: int = STAR_CAP) -> pd.DataFrame:
+    """One bucket → UNVERIFIED candidate pairs (ids sorted asc)."""
+    ids = np.sort(g["doc_id"].to_numpy(), kind="mergesort")
+    iu, ju = _bucket_pair_idx(len(ids), cap)
+    if len(iu) == 0:
+        return _empty_pairs(ids)
+    return pd.DataFrame({"left": ids[iu], "right": ids[ju]})
+
+
 def ngram_jaccard_dedup(ds, k: int = 3, threshold: float = 0.7,
-                        n_perm: int = 128, n_bands: int = 32, seed: int = 7):
+                        n_perm: int = 128, n_bands: int = 32, seed: int = 7,
+                        cluster_mode: str = "driver"):
     """MinHash-LSH candidate generation + EXACT n-gram Jaccard verify.
 
     Wider banding (more bands → lower LSH threshold) so exact
     verification sees enough candidates; returns (survivors, clusters).
+    Verification runs distributed over the candidate-pair Dataset with
+    the candidate texts broadcast once (bounded by the candidate set,
+    never the corpus).
     """
     import functools
     import ray
+    import ray.data as rd
 
-    sigs = ds.select_columns(["doc_id", "text"]).map_batches(
-        MinHashStage, batch_format="pyarrow",
-        fn_constructor_kwargs={"n_perm": n_perm, "k": k, "seed": seed},
-        concurrency=4,
-    ).materialize()
-    banded = sigs.select_columns(["doc_id", "minhash", "n_shingles"]).map_batches(
+    sigs = minhash_signatures(ds, n_perm=n_perm, k=k, seed=seed)
+    key_cols = ["band", "band_key"]
+    keys_only = sigs.map_batches(
         functools.partial(explode_bands_batch, n_bands=n_bands),
         batch_format="pyarrow",
     )
-    dup_rows = _dup_bucket_rows(banded, ["band", "band_key"])
-    pairs = _pairs_from_dup_rows(dup_rows, ["band", "band_key"])
-    verified: List[Tuple] = []
-    if len(pairs):
-        cand_ids = sorted(set(pairs["left"]).union(pairs["right"]))
-        id_arr = pa.array(cand_ids)
-        texts = (
-            ds.select_columns(["doc_id", "text"])
-            .map_batches(
-                lambda t: t.filter(pc.is_in(t["doc_id"], value_set=id_arr)),
-                batch_format="pyarrow",
-            )
-            .to_pandas()
-        )
-        text_map = dict(zip(texts["doc_id"], texts["text"]))
-        for left, right in zip(pairs["left"], pairs["right"]):
-            if ngram_jaccard(text_map[left], text_map[right], k) >= threshold:
-                verified.append((left, right))
-    cluster = clusters_from_pairs(verified)
-    drop = {d for d, c in cluster.items() if d != c}
-    if drop:
-        def _filter(t: pa.Table) -> pa.Table:
-            mask = [d not in drop for d in t["doc_id"].to_pylist()]
-            return t.filter(pa.array(mask))
-        return ds.map_batches(_filter, batch_format="pyarrow"), cluster
-    return ds, cluster
+    keys_ref = _dup_keys_ref(keys_only, key_cols)
+    if keys_ref is None:
+        return ds, {}
+    dup_rows = _filter_dup_rows(keys_only, key_cols, keys_ref)
+    cand_pairs = _collect_pairs(
+        dup_rows.groupby("__bkey").map_groups(
+            _candidate_pairs_group, batch_format="pandas"))
+    if len(cand_pairs) == 0:
+        return ds, {}
+    cand_ids = sorted(set(cand_pairs["left"]).union(cand_pairs["right"]))
+    id_arr = pa.array(cand_ids)
+    texts = (ds.select_columns(["doc_id", "text"])
+             .map_batches(
+                 lambda t: t.filter(pc.is_in(t["doc_id"], value_set=id_arr)),
+                 batch_format="pyarrow")
+             .to_pandas())
+    text_ref = ray.put(dict(zip(texts["doc_id"], texts["text"])))
+
+    def _verify(b: pd.DataFrame) -> pd.DataFrame:
+        tm = ray.get(text_ref)
+        if len(b) == 0:
+            return b
+        keep = np.fromiter(
+            (ngram_jaccard(tm[l], tm[r], k) >= threshold
+             for l, r in zip(b["left"], b["right"])),
+            dtype=bool, count=len(b))
+        return b[keep]
+
+    verified = rd.from_pandas(cand_pairs).map_batches(
+        _verify, batch_format="pandas")
+    return _cluster_and_filter(ds, verified, "doc_id", cluster_mode)
 
 
 # ---------------------------------------------------------------------------
@@ -425,12 +615,31 @@ def hamming64(a: int, b: int) -> int:
     return bin((int(a) ^ int(b)) & 0xFFFFFFFFFFFFFFFF).count("1")
 
 
-def simhash_dedup(ds, max_hamming: int = 3, concurrency: int = 4):
+def _simhash_verify_group(g: pd.DataFrame, max_hamming: int,
+                          cap: int = STAR_CAP) -> pd.DataFrame:
+    """One band bucket → pairs within Hamming ≤ max_hamming
+    (vectorized XOR + popcount via unpackbits)."""
+    order = np.argsort(g["doc_id"].to_numpy(), kind="mergesort")
+    ids = g["doc_id"].to_numpy()[order]
+    hs = g["simhash"].to_numpy()[order].astype(np.int64).view(np.uint64)
+    iu, ju = _bucket_pair_idx(len(ids), cap)
+    if len(iu) == 0:
+        return _empty_pairs(ids)
+    x = hs[iu] ^ hs[ju]
+    dist = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+    keep = dist <= max_hamming
+    return pd.DataFrame({"left": ids[iu[keep]], "right": ids[ju[keep]]})
+
+
+def simhash_dedup(ds, max_hamming: int = 3, concurrency: int = 4,
+                  cluster_mode: str = "driver"):
     """SimHash near-dup: 4×16-bit band buckets (pigeonhole: any pair
     within Hamming ≤ 3 of 64 bits shares at least one of 4 bands) →
-    intra-bucket pairs → exact Hamming verify → union-find."""
+    per-bucket Hamming verify inside ``map_groups`` → clusters."""
+    import functools
+
     fps = ds.select_columns(["doc_id", "text"]).map_batches(
-        SimHashStage, batch_format="pyarrow", concurrency=concurrency,
+        SimHashStage, batch_format="pyarrow", concurrency=_pool_size(concurrency),
     )
 
     def _bands(t: pa.Table) -> pa.Table:
@@ -448,42 +657,53 @@ def simhash_dedup(ds, max_hamming: int = 3, concurrency: int = 4):
             "simhash": (t["simhash"].combine_chunks() if isinstance(t["simhash"], pa.ChunkedArray) else t["simhash"]).take(idx),
         })
 
-    banded = fps.select_columns(["doc_id", "simhash"]).map_batches(_bands, batch_format="pyarrow")
-
-    dup_rows = _dup_bucket_rows(banded, ["band", "band_key"])
-    verified = []
-    if len(dup_rows):
-        for _, g in dup_rows.groupby(["band", "band_key"]):
-            g = g.sort_values("doc_id")
-            ids = g["doc_id"].to_numpy()
-            hs = g["simhash"].to_numpy()
-            iu, ju = np.triu_indices(len(ids), k=1)
-            for i, j in zip(iu, ju):
-                if hamming64(hs[i], hs[j]) <= max_hamming:
-                    verified.append((ids[i], ids[j]))
-    cluster = clusters_from_pairs(set(verified))
-    drop = {d for d, c in cluster.items() if d != c}
-    if drop:
-        def _filter(t: pa.Table) -> pa.Table:
-            mask = [d not in drop for d in t["doc_id"].to_pylist()]
-            return t.filter(pa.array(mask))
-        return ds.map_batches(_filter, batch_format="pyarrow"), cluster
-    return ds, cluster
+    banded = fps.select_columns(["doc_id", "simhash"]).map_batches(
+        _bands, batch_format="pyarrow").materialize()
+    key_cols = ["band", "band_key"]
+    keys_ref = _dup_keys_ref(banded, key_cols)
+    if keys_ref is None:
+        return ds, {}
+    dup_rows = _filter_dup_rows(banded, key_cols, keys_ref)
+    verified = dup_rows.groupby("__bkey").map_groups(
+        functools.partial(_simhash_verify_group, max_hamming=max_hamming),
+        batch_format="pandas",
+    )
+    return _cluster_and_filter(ds, verified, "doc_id", cluster_mode)
 
 
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 
+def _embedding_verify_group(g: pd.DataFrame, threshold: float,
+                            id_column: str, cap: int = STAR_CAP) -> pd.DataFrame:
+    """One hyperplane bucket → pairs with cosine ≥ threshold; the unit
+    vectors stay inside the bucket task (never on the driver)."""
+    order = np.argsort(g[id_column].to_numpy(), kind="mergesort")
+    ids = g[id_column].to_numpy()[order]
+    mat = np.stack([np.asarray(u, dtype=np.float32)
+                    for u in g["unit"].to_numpy()[order]])
+    iu, ju = _bucket_pair_idx(len(ids), cap)
+    if len(iu) == 0:
+        return _empty_pairs(ids)
+    sims = np.einsum("ij,ij->i", mat[iu], mat[ju])
+    keep = sims >= threshold
+    return pd.DataFrame({"left": ids[iu[keep]], "right": ids[ju[keep]]})
+
+
 def embedding_neardup(ds, threshold: float = 0.97, n_planes: int = 14,
                       seed: int = 11, id_column: str = "vec_id",
-                      vec_column: str = "embedding"):
+                      vec_column: str = "embedding",
+                      cluster_mode: str = "driver"):
     """Random-hyperplane LSH buckets → within-bucket pairwise cosine ≥
-    threshold → union-find clusters. Returns (survivors, cluster_map).
+    threshold (inside ``map_groups`` bucket tasks) → clusters.
+    Returns (survivors, cluster_map).
 
     One bucket per doc (single LSH table): recall is tunable by
     ``n_planes``; a production run uses multiple tables (same stage
     repeated with different seeds, unioned pairs).
     """
+    import functools
+
     first = ds.take(1)
     dim = len(first[0][vec_column]) if first else 0
     rng = np.random.default_rng(seed)
@@ -505,24 +725,15 @@ def embedding_neardup(ds, threshold: float = 0.97, n_planes: int = 14,
         })
         return out
 
-    bucketed = ds.select_columns([id_column, vec_column]).map_batches(_bucket, batch_format="pyarrow")
-
-    dup_rows = _dup_bucket_rows(bucketed, ["bucket"])
-    verified = []
-    if len(dup_rows):
-        for _, g in dup_rows.groupby("bucket"):
-            g = g.sort_values(id_column)
-            ids = g[id_column].to_numpy()
-            mat = np.stack([np.asarray(u, dtype=np.float32) for u in g["unit"]])
-            sim = mat @ mat.T
-            iu, ju = np.triu_indices(len(ids), k=1)
-            for i, j in zip(iu[sim[iu, ju] >= threshold], ju[sim[iu, ju] >= threshold]):
-                verified.append((ids[i], ids[j]))
-    cluster = clusters_from_pairs(set(verified))
-    drop = {d for d, c in cluster.items() if d != c}
-    if drop:
-        def _filter(t: pa.Table) -> pa.Table:
-            mask = [d not in drop for d in t[id_column].to_pylist()]
-            return t.filter(pa.array(mask))
-        return ds.map_batches(_filter, batch_format="pyarrow"), cluster
-    return ds, cluster
+    bucketed = ds.select_columns([id_column, vec_column]).map_batches(
+        _bucket, batch_format="pyarrow").materialize()
+    keys_ref = _dup_keys_ref(bucketed.select_columns(["bucket"]), ["bucket"])
+    if keys_ref is None:
+        return ds, {}
+    dup_rows = _filter_dup_rows(bucketed, ["bucket"], keys_ref)
+    verified = dup_rows.groupby("__bkey").map_groups(
+        functools.partial(_embedding_verify_group, threshold=threshold,
+                          id_column=id_column),
+        batch_format="pandas",
+    )
+    return _cluster_and_filter(ds, verified, id_column, cluster_mode)

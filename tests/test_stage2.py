@@ -434,3 +434,51 @@ def test_knn_empty_batch_and_block(ray_session):
     out2 = knn_ivf(ds, q[:2], k=3, n_clusters=8, n_probe=1,
                    sample_size=60).to_pandas()
     assert set(out2["query_id"]) == {0, 1}
+
+def test_minhash_signatures_exclude_text(ray_session):
+    """The materialized signature set must NOT carry the corpus text
+    (the whole point of dropping it before .materialize())."""
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.dedup import minhash_signatures
+    ds = rd.from_items([{"doc_id": f"d{i}", "text": "some text here " * 5}
+                        for i in range(20)])
+    sigs = minhash_signatures(ds, n_perm=16)
+    assert set(sigs.schema().names) == {"doc_id", "minhash", "n_shingles"}
+
+
+def test_label_propagation_matches_union_find(ray_session):
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.dedup import (
+        clusters_from_pairs, propagate_min_labels)
+    # two components: {a,b,c,d} chained, {x,y}; strings to match doc_id dtype
+    pairs = [("b", "a"), ("c", "b"), ("d", "c"), ("y", "x")]
+    want = clusters_from_pairs(pairs)
+    ds = rd.from_items([{"left": l, "right": r} for l, r in pairs])
+    got = propagate_min_labels(ds).to_pandas()
+    assert dict(zip(got["node"], got["label"])) == want
+
+
+def test_minhash_mega_cluster_star_path(ray_session):
+    """A 10k-member duplicate cluster: star pairing keeps candidate
+    pairs at n-1 (not n^2/2) and texts/signatures never hit the driver;
+    both cluster modes agree on the survivors."""
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.dedup import minhash_lsh_dedup
+    n = 10_000
+    dup_text = "the quarterly revenue table shows totals per region " * 4
+    rows = [{"doc_id": f"dup_{i:05d}", "text": dup_text} for i in range(n)]
+    rows += [{"doc_id": f"uniq_{i}", "text": f"completely different doc {i} "
+              + " ".join(f"tok{i}_{j}" for j in range(30))} for i in range(5)]
+    ds = rd.from_items(rows).repartition(8)
+    # propagate mode runs the same star topology at 1/8 size (its
+    # correctness is covered by test_label_propagation_matches_union_find;
+    # here it just proves the end-to-end wiring)
+    small = rd.from_items(rows[:1250] + rows[-5:]).repartition(8)
+    for mode, data in (("driver", ds), ("propagate", small)):
+        survivors, cluster = minhash_lsh_dedup(
+            data, n_perm=32, n_bands=8, cluster_mode=mode)
+        ids = set(survivors.to_pandas()["doc_id"])
+        assert "dup_00000" in ids                 # canonical = min id
+        assert sum(1 for i in ids if i.startswith("dup_")) == 1, mode
+        assert sum(1 for i in ids if i.startswith("uniq_")) == 5, mode
+        assert set(cluster.values()) == {"dup_00000"}

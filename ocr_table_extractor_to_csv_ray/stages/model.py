@@ -44,19 +44,74 @@ class LayoutScorerStage:
     ``labels`` list column aligned with the word spans.
     """
 
-    def __init__(self, cfg: Optional[LayoutConfig] = None) -> None:
+    DEFAULT_MODEL_ID = "microsoft/layoutlmv3-base"
+
+    def __init__(self, cfg: Optional[LayoutConfig] = None,
+                 model_id: Optional[str] = None, image_loader=None) -> None:
+        """``image_loader``: optional ``doc_id -> page image`` resolver
+        for the weights-backed scorer (LayoutLMv3 consumes the page
+        bitmap alongside words+boxes). Without one, a blank canvas is
+        used — functional, lower accuracy than the true page image."""
         self.cfg = cfg or LayoutConfig()
-        try:  # pragma: no cover — not installed in this environment
-            import transformers  # noqa: F401
+        self._image_loader = image_loader
+        self._processor = self._model = None
+        try:
+            from transformers import (LayoutLMv3ForTokenClassification,
+                                      LayoutLMv3Processor)
             import torch  # noqa: F401
+            # once-per-actor model load — the actor IS the reference's
+            # @lru_cache(maxsize=1) on _load_layoutlmv3
+            # (layout_transformers.py:128-140)
+            mid = model_id or self.DEFAULT_MODEL_ID
+            self._processor = LayoutLMv3Processor.from_pretrained(
+                mid, apply_ocr=False)
+            self._model = LayoutLMv3ForTokenClassification.from_pretrained(mid)
             self._backend = "layoutlmv3"
-            raise NotImplementedError(
-                "weights-backed scorer: load LayoutLMv3Processor/"
-                "ForTokenClassification here (lru-cache equivalent is the actor)")
         except ImportError:
             self._backend = "teacher-stub"
 
+    def _page_image(self, toks: TokenSOA):
+        """Blank white canvas sized to the token extent (stand-in when
+        no ``image_loader`` provides the real page bitmap)."""
+        from PIL import Image
+        w = int(max(toks.x2.max() if len(toks) else 0, 1)) + 10
+        h = int(max(toks.y2.max() if len(toks) else 0, 1)) + 10
+        return Image.new("RGB", (w, h), "white")
+
+    def _score_real(self, doc_id: str, toks: TokenSOA) -> List[str]:
+        """Weights-backed forward pass + FIRST-subtoken word collapse
+        (``layout_transformers.py:143-161``)."""
+        import torch
+
+        words = [str(t) for t in toks.text]
+        boxes = [[int(a), int(b), int(c), int(d)]
+                 for a, b, c, d in zip(toks.x1, toks.y1, toks.x2, toks.y2)]
+        image = (self._image_loader(doc_id) if self._image_loader
+                 else self._page_image(toks))
+        encoding = self._processor(image, words, boxes=boxes,
+                                   return_tensors="pt")
+        with torch.no_grad():
+            outputs = self._model(**encoding)
+        predictions = outputs.logits.argmax(-1).squeeze().tolist()
+        if not isinstance(predictions, list):      # single-token squeeze
+            predictions = [predictions]
+        word_ids = encoding.word_ids()
+        collapsed: List[str] = []
+        prev_word_idx = -1
+        for i, word_idx in enumerate(word_ids):
+            if word_idx is None or word_idx == prev_word_idx:
+                continue
+            collapsed.append(self._model.config.id2label[predictions[i]])
+            prev_word_idx = word_idx
+        # keep the labels column aligned with the word spans: truncated
+        # encodings pad the tail with OTHER
+        if len(collapsed) < len(words):
+            collapsed += ["OTHER"] * (len(words) - len(collapsed))
+        return collapsed[:len(words)]
+
     def _score_doc(self, doc_id: str, toks: TokenSOA) -> List[str]:
+        if self._backend == "layoutlmv3" and len(toks):
+            return self._score_real(doc_id, toks)
         ex = build_example(doc_id, toks, max_columns=self.cfg.max_model_columns,
                            compute_boxes=False)   # labels only — skip box math
         if ex is None:

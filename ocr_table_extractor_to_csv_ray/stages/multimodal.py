@@ -35,17 +35,32 @@ class ImageDecodeStage:
 
     def __init__(self, height: int = 64, width: int = 64) -> None:
         self.h, self.w = height, width
-        try:  # pragma: no cover — PIL absent in this container
+        try:
             from PIL import Image
             # a real PIL exposes a callable open() (test stubs don't)
             self._backend = "pil" if callable(getattr(Image, "open", None)) else "fake"
         except ImportError:
             self._backend = "fake"
 
+    def _decode_pil(self, payload: bytes) -> np.ndarray:
+        """Real decode: PIL open → RGB → resize to the stage's fixed
+        output shape (decoded batches must be rectangular)."""
+        import io
+        from PIL import Image
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        if img.size != (self.w, self.h):
+            img = img.resize((self.w, self.h))
+        return np.asarray(img, dtype=np.uint8)
+
     def _decode(self, payload: bytes) -> np.ndarray:
-        if self._backend == "pil":  # pragma: no cover
-            raise NotImplementedError(
-                "real decode: PIL.Image.open(io.BytesIO(payload)).convert('RGB')")
+        if self._backend == "pil":
+            try:
+                return self._decode_pil(payload)
+            except Exception:   # corrupt payload must not poison the block
+                import logging
+                logging.getLogger(__name__).warning(
+                    "image decode failed (%d bytes); substituting fake pixels",
+                    len(payload or b""))
         return _fake_pixels(payload, self.h, self.w)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -141,9 +156,29 @@ class FrameSampleStage:
         except ImportError:
             self._backend = "fake"
 
+    def _frame_count_pyav(self, payload: bytes) -> int:
+        """Real path: container metadata frame count, falling back to a
+        duration × rate estimate when the stream doesn't declare one."""
+        import io
+        import av
+        with av.open(io.BytesIO(payload)) as container:
+            stream = container.streams.video[0]
+            if stream.frames:
+                return int(stream.frames)
+            if stream.duration and stream.average_rate:
+                return max(1, int(stream.duration * stream.time_base
+                                  * stream.average_rate))
+            return max(1, sum(1 for _ in container.decode(stream)))
+
     def _frame_count(self, payload: bytes) -> int:
-        if self._backend == "pyav":  # pragma: no cover
-            raise NotImplementedError("real path: av.open(BytesIO(payload))")
+        if self._backend == "pyav":
+            try:
+                return self._frame_count_pyav(payload)
+            except Exception:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "video probe failed (%d bytes); using synthetic frame count",
+                    len(payload or b""))
         digest = hashlib.blake2b(payload or b"", digest_size=2).digest()
         return 30 + int.from_bytes(digest, "little") % 270     # 30..299 frames
 
@@ -174,15 +209,34 @@ class AudioDecodeStage:
 
     def __init__(self, n_samples: int = 8000) -> None:
         self.n = n_samples
-        try:  # pragma: no cover — not installed here
+        try:
             import soundfile  # noqa: F401
             self._backend = "soundfile"
         except ImportError:
             self._backend = "fake"
 
+    def _decode_soundfile(self, payload: bytes) -> np.ndarray:
+        """Real path: decode, mix to mono, pad/trim to the fixed sample
+        count (waveform batches must be rectangular)."""
+        import io
+        import soundfile as sf
+        data, _rate = sf.read(io.BytesIO(payload), dtype="float32")
+        wav = np.asarray(data, dtype=np.float32)
+        if wav.ndim > 1:
+            wav = wav.mean(axis=1)
+        if len(wav) >= self.n:
+            return wav[: self.n]
+        return np.pad(wav, (0, self.n - len(wav)))
+
     def _decode(self, payload: bytes) -> np.ndarray:
-        if self._backend == "soundfile":  # pragma: no cover
-            raise NotImplementedError("real path: soundfile.read(BytesIO(payload))")
+        if self._backend == "soundfile":
+            try:
+                return self._decode_soundfile(payload)
+            except Exception:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "audio decode failed (%d bytes); substituting fake waveform",
+                    len(payload or b""))
         seed = int.from_bytes(hashlib.blake2b(payload or b"", digest_size=8).digest(), "little")
         rng = np.random.default_rng(seed)
         t = np.arange(self.n, dtype=np.float32)

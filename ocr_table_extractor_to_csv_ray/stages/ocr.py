@@ -68,15 +68,32 @@ class PdfRasterizeStage:
 
     def __init__(self, max_pages: int = 16) -> None:
         self.max_pages = max_pages
-        try:  # pragma: no cover — not installed here
+        try:
             import pypdfium2  # noqa: F401
             self._backend = "pdfium"
         except ImportError:
             self._backend = "fake"
 
+    def _pdfium_page_count(self, ref: str) -> int:
+        """Real path: open the document, count pages."""
+        import pypdfium2 as pdfium
+        path = ref[len("pdf://"):] if ref.startswith("pdf://") else ref
+        pdf = pdfium.PdfDocument(path)
+        try:
+            return max(1, len(pdf))
+        finally:
+            close = getattr(pdf, "close", None)
+            if callable(close):
+                close()
+
     def _page_count(self, ref: str) -> int:
-        if self._backend == "pdfium":  # pragma: no cover
-            raise NotImplementedError("real path: pdfium.PdfDocument(payload)")
+        if self._backend == "pdfium":
+            try:
+                return self._pdfium_page_count(ref)
+            except Exception:  # unreadable file must not poison the block
+                import logging
+                logging.getLogger(__name__).warning(
+                    "pdfium failed on %s; falling back to synthetic page count", ref)
         return 1 + zlib.crc32(ref.encode()) % self.max_pages
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -112,27 +129,72 @@ class OcrStage:
     document into word spans (appended after the existing spans, offsets
     continuing), leaving word spans untouched."""
 
-    def __init__(self, cfg: Optional[LayoutConfig] = None) -> None:
+    def __init__(self, cfg: Optional[LayoutConfig] = None,
+                 media_loader=None) -> None:
+        """``media_loader``: optional ``media_ref -> image`` resolver for
+        the real engine (defaults to PIL-open of the ref as a file
+        path, ``img://``/``file://`` prefixes stripped)."""
         self.cfg = cfg or LayoutConfig()
-        try:  # pragma: no cover - real engine absent in this environment
+        self._media_loader = media_loader
+        try:
             import pytesseract  # noqa: F401
             self._engine = "tesseract"
         except ImportError:
             self._engine = "fake"
         self._fake = _FakeTesseract()
 
+    def _load_media(self, media_ref: str):
+        """Resolve a media ref to an image for the real engine; None if
+        unresolvable (the span is then skipped, not poisoned)."""
+        if self._media_loader is not None:
+            return self._media_loader(media_ref)
+        try:
+            from PIL import Image
+            path = media_ref
+            for prefix in ("img://", "file://"):
+                if path.startswith(prefix):
+                    path = path[len(prefix):]
+            return Image.open(path).convert("RGB")
+        except Exception:
+            import logging
+            logging.getLogger(__name__).warning(
+                "cannot load media %s for OCR; span skipped", media_ref)
+            return None
+
+    def _words_tesseract(self, media_ref: str) -> List[Tuple[str, int, int, int, int, int]]:
+        """Real engine: ``pytesseract.image_to_data`` with the
+        reference's field handling (``layout_transformers.py:68-125``):
+        conf parsed via int(float(.)), -1 on parse failure; bbox =
+        (left, top, left+width, top+height)."""
+        import pytesseract
+        image = self._load_media(media_ref)
+        if image is None:
+            return []
+        data = pytesseract.image_to_data(
+            image, output_type=pytesseract.Output.DICT, lang=self.cfg.ocr_lang)
+        out = []
+        for i in range(len(data["level"])):
+            try:
+                conf = int(float(data["conf"][i]))
+            except Exception:
+                conf = -1
+            x, y = data["left"][i], data["top"][i]
+            w, h = data["width"][i], data["height"][i]
+            out.append((data["text"][i] or "", x, y, x + w, y + h, conf))
+        return out
+
     def _ocr_one(self, media_ref: str) -> List[Tuple[str, int, int, int, int]]:
-        if self._engine == "tesseract":  # pragma: no cover
-            raise NotImplementedError(
-                "real Tesseract path requires image bytes + pytesseract; "
-                "wire image loading here when the libs exist")
-        words = self._fake.image_to_words(media_ref)
+        if self._engine == "tesseract":
+            words = self._words_tesseract(media_ref)
+        else:
+            words = self._fake.image_to_words(media_ref)
         out = []
         bbox = self.cfg.table_bbox
         for text, x1, y1, x2, y2, conf in words:
             if conf <= self.cfg.ocr_min_confidence:   # layout_transformers.py:95-100
                 continue
-            if not text.strip():
+            text = text.strip()                       # ref strips BEFORE the empty check
+            if not text:
                 continue
             if bbox and not (x1 >= bbox[0] and y1 >= bbox[1]
                              and x2 <= bbox[2] and y2 <= bbox[3]):
@@ -158,8 +220,9 @@ class OcrStage:
                 continue
             off = max((s["offset"] for s in spans), default=-1) + 1
             extra = []
-            for m in media:
-                page = 1 + media.index(m)   # each media ref = one page image
+            # enumerate, not .index(): duplicate media refs must still get
+            # DISTINCT pages (and .index is O(m^2))
+            for page, m in enumerate(media, start=1):
                 for text, x1, y1, x2, y2 in self._ocr_one(m["media_ref"]):
                     extra.append({
                         "kind": KIND_WORD, "text": text,

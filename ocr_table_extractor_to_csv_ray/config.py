@@ -54,6 +54,8 @@ class EngineConfig:
     partition_field: str = "part_id"        # hash(doc_id) % num_output_partitions
     num_output_partitions: int = 32         # resumable-output granularity
     oversize_token_threshold: int = 200_000 # page-split docs above this many spans
+    skew_guard: bool = True                 # split/reassemble oversized docs
+    ocr_pages_per_shard: int = 16           # max media spans per OCR shard
     ocr_concurrency: int = 4                # Tesseract-style actor pool size
     # batch sizes trade per-call overhead against worker heap: these
     # defaults suit ref-based media rows; drop to 8-16 when rows carry

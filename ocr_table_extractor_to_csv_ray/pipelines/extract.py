@@ -44,7 +44,20 @@ def add_part_id_batch(t: pa.Table, num_partitions: int) -> pa.Table:
 
 
 def build_extraction_ds(ds, cfg: EngineConfig):
-    """Attach the extraction stages to an input Dataset (lazy)."""
+    """Attach the extraction stages to an input Dataset (lazy).
+
+    Skew guard (north rule: "skew-aware split of oversized multi-page
+    PDFs"): oversized rows are span-split and reassembled before the
+    geometry kernel (G2/G4 profiles are cross-page — the kernel must
+    see whole documents). ``selective=True``: rows that never split
+    bypass the reassembly shuffle, so a corpus with no oversized docs
+    pays a second column-pruned read instead of an all-to-all.
+    """
+    if cfg.skew_guard:
+        from ..stages.skew import with_skew_guard
+        ds = with_skew_guard(ds, lambda d: d,
+                             max_spans=cfg.oversize_token_threshold,
+                             selective=True)
     ds = ds.map_batches(
         functools.partial(add_part_id_batch, num_partitions=cfg.num_output_partitions),
         batch_format="pyarrow",

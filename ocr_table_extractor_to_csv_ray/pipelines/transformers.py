@@ -44,12 +44,27 @@ def build_transformers_ds(ds, cfg: Optional[EngineConfig] = None):
     rasterizer = PdfRasterizeStage()
     ds = ds.map_batches(lambda t: rasterizer(t), batch_format="pyarrow",
                         batch_size=cfg.ocr_batch_size)
-    ds = ds.map_batches(
-        OcrStage, batch_format="pyarrow",
-        fn_constructor_kwargs={"cfg": lcfg},
-        batch_size=cfg.ocr_batch_size,
-        concurrency=ocr_n,
-    )
+
+    def _ocr(d):
+        return d.map_batches(
+            OcrStage, batch_format="pyarrow",
+            fn_constructor_kwargs={"cfg": lcfg},
+            batch_size=cfg.ocr_batch_size,
+            concurrency=ocr_n,
+        )
+
+    if cfg.skew_guard:
+        # split AFTER rasterize (a 10k-page pdf is one span until its
+        # pages exist) so the OCR pool sees ≤ ocr_pages_per_shard page
+        # images per shard; reassemble BEFORE the scorer (the model
+        # consumes whole documents). selective=False: OCR is the
+        # expensive stage and must not execute twice.
+        from ..core.spans import KIND_MEDIA
+        from ..stages.skew import with_skew_guard
+        ds = with_skew_guard(ds, _ocr, max_spans=cfg.ocr_pages_per_shard,
+                             count_kind=KIND_MEDIA, selective=False)
+    else:
+        ds = _ocr(ds)
     ds = ds.map_batches(
         LayoutScorerStage, batch_format="pyarrow",
         fn_constructor_kwargs={"cfg": lcfg},

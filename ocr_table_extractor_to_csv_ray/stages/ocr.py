@@ -211,8 +211,15 @@ class OcrStage:
         if pc.sum(pc.cast(pc.equal(kinds, KIND_MEDIA), pa.int64())).as_py() in (0, None):
             return batch
         rows = spans_col.to_pylist()
+        # skew-guard shard rows carry media_base = number of media spans
+        # in EARLIER shards of the same doc: page numbers stay GLOBAL to
+        # the document across the split
+        if "media_base" in batch.column_names:
+            bases = batch["media_base"].to_pylist()
+        else:
+            bases = [0] * len(rows)
         new_rows = []
-        for spans in rows:
+        for spans, base in zip(rows, bases):
             spans = spans or []
             media = [s for s in spans if s["kind"] == KIND_MEDIA]
             if not media:
@@ -222,7 +229,7 @@ class OcrStage:
             extra = []
             # enumerate, not .index(): duplicate media refs must still get
             # DISTINCT pages (and .index is O(m^2))
-            for page, m in enumerate(media, start=1):
+            for page, m in enumerate(media, start=1 + (base or 0)):
                 for text, x1, y1, x2, y2 in self._ocr_one(m["media_ref"]):
                     extra.append({
                         "kind": KIND_WORD, "text": text,

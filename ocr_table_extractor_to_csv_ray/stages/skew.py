@@ -6,73 +6,141 @@ BETWEEN rows, never inside one). The guard:
 
     map_batches(split_oversized)        # flat-map: giant doc → per-page shard rows
       ... parse / OCR stages ...        # per-shard, embarrassingly parallel
-    groupby(doc_id).map_groups(reassemble)   # restore one row per doc
+    reassemble                          # restore one row per doc
 
 Validity boundary (SURVEY.md §4.2): the geometry kernels compute the
 column/row profiles across ALL pages jointly (``columns.py:14-27``,
 ``rows.py:18-30``), so the split may only cover parse/OCR stages —
 ``reassemble`` must run BEFORE the extraction kernel. Shard rows carry
-``(doc_id, shard_no, n_shards)``; reassembly concatenates spans in
-``shard_no`` order and re-bases offsets, so the output row is
-byte-identical to the unsplit document.
+``(doc_id, shard_no, n_shards, media_base)``; reassembly concatenates
+spans in ``shard_no`` order and re-bases offsets, so the output row is
+byte-identical to the unsplit document. ``media_base`` (count of media
+spans in earlier shards) lets the OCR stage keep GLOBAL page numbers —
+shard 2's first page image is page 17, not page 1.
+
+Two reassembly strategies (``with_skew_guard(selective=...)``):
+
+- ``selective=True`` — rows that were never split bypass the shuffle
+  entirely; only oversized-doc shards go through the
+  ``groupby(doc_id)`` reassembly. The price is that the input +
+  ``inner_stages`` execute twice (two lazy consumers), so use it when
+  ``inner_stages`` is cheap relative to an all-to-all of the corpus
+  (the flagship: inner is identity, so the second pass is a re-read
+  and the shuffle moves only the oversized tail).
+- ``selective=False`` — one pass, one full ``groupby(doc_id)``
+  shuffle. Use it when ``inner_stages`` is expensive (the OCR actor
+  pool) and must not run twice.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..core.spans import KIND_MEDIA
 
-def split_oversized_batch(batch: pa.Table, max_spans: int = 50_000) -> pa.Table:
-    """Rows with more than ``max_spans`` spans become one row per page
-    group of ~``max_spans`` spans (page boundaries are not required —
-    shards cut on span index, which parse/OCR stages tolerate because
-    they treat spans independently)."""
-    lens = pc.list_value_length(batch["spans"]).to_numpy(zero_copy_only=False)
-    if not (lens > max_spans).any():
-        out = batch
-        for name, typ, fill in (("shard_no", pa.int32(), 0),
-                                ("n_shards", pa.int32(), 1)):
-            if name in out.column_names:
-                out = out.drop_columns([name])
-            out = out.append_column(name, pa.array([fill] * batch.num_rows, typ))
-        return out
+GUARD_COLS = ("shard_no", "n_shards", "media_base")
 
-    ids = batch["doc_id"].to_pylist()
-    spans = batch["spans"].to_pylist()
-    o_ids: List[str] = []
+
+def _append_guard_cols(batch: pa.Table, shard, n_shards, media_base) -> pa.Table:
+    out = batch
+    for name, arr in (("shard_no", shard), ("n_shards", n_shards),
+                      ("media_base", media_base)):
+        if name in out.column_names:
+            out = out.drop_columns([name])
+        out = out.append_column(name, arr)
+    return out
+
+
+def _cut_row(spans: List[Dict], max_spans: int,
+             count_kind: Optional[str]) -> List[int]:
+    """Cut indices (exclusive ends) so each shard holds ≤ ``max_spans``
+    counted spans. ``count_kind=None`` counts every span; a kind (e.g.
+    ``media``) counts only those — an OCR shard is then bounded by its
+    page-image count, which is what its cost is proportional to."""
+    cuts = []
+    count = 0
+    for i, s in enumerate(spans):
+        if count_kind is None or s["kind"] == count_kind:
+            count += 1
+            if count > max_spans:
+                cuts.append(i)
+                count = 1
+    cuts.append(len(spans))
+    return cuts
+
+
+def split_oversized_batch(batch: pa.Table, max_spans: int = 50_000,
+                          count_kind: Optional[str] = None) -> pa.Table:
+    """Rows with more than ``max_spans`` (counted) spans become one row
+    per ~``max_spans``-span shard; every other column is replicated onto
+    the shards. All rows gain ``(shard_no, n_shards, media_base)``."""
+    spans_col = batch["spans"]
+    if count_kind is None:
+        counts = pc.list_value_length(spans_col).to_numpy(zero_copy_only=False)
+    else:
+        la = spans_col.combine_chunks() if isinstance(spans_col, pa.ChunkedArray) else spans_col
+        kind_is = pc.equal(la.flatten().field("kind"), count_kind)
+        flags = kind_is.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.fill_null(la.value_lengths(), 0).to_numpy(zero_copy_only=False)
+        offsets = np.concatenate(([0], np.cumsum(lens)))
+        cum = np.concatenate(([0], np.cumsum(flags)))
+        counts = cum[offsets[1:]] - cum[offsets[:-1]]
+    if not (counts > max_spans).any():
+        n = batch.num_rows
+        return _append_guard_cols(
+            batch,
+            pa.array(np.zeros(n, np.int32)),
+            pa.array(np.ones(n, np.int32)),
+            pa.array(np.zeros(n, np.int32)),
+        )
+
+    spans_rows = spans_col.to_pylist()
+    take_idx: List[int] = []
     o_spans: List[List[Dict]] = []
     o_shard: List[int] = []
     o_n: List[int] = []
-    for doc_id, ss in zip(ids, spans):
+    o_base: List[int] = []
+    for ri, ss in enumerate(spans_rows):
         ss = ss or []
-        if len(ss) <= max_spans:
-            o_ids.append(doc_id); o_spans.append(ss)
-            o_shard.append(0); o_n.append(1)
+        if counts[ri] <= max_spans:
+            take_idx.append(ri)
+            o_spans.append(ss)
+            o_shard.append(0); o_n.append(1); o_base.append(0)
             continue
-        n_shards = (len(ss) + max_spans - 1) // max_spans
-        for k in range(n_shards):
-            o_ids.append(doc_id)
-            o_spans.append(ss[k * max_spans:(k + 1) * max_spans])
-            o_shard.append(k); o_n.append(n_shards)
+        cuts = _cut_row(ss, max_spans, count_kind)
+        lo = 0
+        media_seen = 0
+        for k, hi in enumerate(cuts):
+            shard = ss[lo:hi]
+            take_idx.append(ri)
+            o_spans.append(shard)
+            o_shard.append(k); o_n.append(len(cuts)); o_base.append(media_seen)
+            media_seen += sum(1 for s in shard if s["kind"] == KIND_MEDIA)
+            lo = hi
+    out = batch.take(pa.array(take_idx, pa.int64()))
     span_t = batch.schema.field("spans").type
-    return pa.table({
-        "doc_id": pa.array(o_ids, batch.schema.field("doc_id").type),
-        "spans": pa.array(o_spans, span_t),
-        "shard_no": pa.array(o_shard, pa.int32()),
-        "n_shards": pa.array(o_n, pa.int32()),
-    })
+    out = out.set_column(out.schema.get_field_index("spans"), "spans",
+                         pa.array(o_spans, span_t))
+    return _append_guard_cols(
+        out,
+        pa.array(o_shard, pa.int32()),
+        pa.array(o_n, pa.int32()),
+        pa.array(o_base, pa.int32()),
+    )
 
 
 def reassemble_group(g: pa.Table) -> pa.Table:
     """One group = all shards of one doc_id → single row, spans
-    concatenated in shard order with offsets re-based to one sequence."""
-    n = g.num_rows
-    if n == 1 and g["n_shards"][0].as_py() == 1:
-        return g.drop_columns(["shard_no", "n_shards"])
+    concatenated in shard order with offsets re-based to one sequence.
+    Doc-level columns (anything besides spans + guard cols) come from
+    shard 0 — they were replicated identically onto every shard."""
+    guard = [c for c in GUARD_COLS if c in g.column_names]
+    if g.num_rows == 1 and g["n_shards"][0].as_py() == 1:
+        return g.drop_columns(guard)
     order = np.argsort(g["shard_no"].to_numpy(zero_copy_only=False), kind="stable")
     spans_rows = g["spans"].to_pylist()
     merged: List[Dict] = []
@@ -83,20 +151,39 @@ def reassemble_group(g: pa.Table) -> pa.Table:
             s["offset"] = off
             off += 1
             merged.append(s)
-    return pa.table({
-        "doc_id": g["doc_id"].slice(0, 1),
-        "spans": pa.array([merged], g.schema.field("spans").type),
-    })
+    row0 = g.take(pa.array([int(order[0])], pa.int64()))
+    row0 = row0.set_column(row0.schema.get_field_index("spans"), "spans",
+                           pa.array([merged], g.schema.field("spans").type))
+    return row0.drop_columns(guard)
 
 
-def with_skew_guard(ds, inner_stages, max_spans: int = 50_000):
+def _only_normal(t: pa.Table) -> pa.Table:
+    keep = t.filter(pc.equal(t["n_shards"], pa.scalar(1, pa.int32())))
+    return keep.drop_columns([c for c in GUARD_COLS if c in keep.column_names])
+
+
+def _only_sharded(t: pa.Table) -> pa.Table:
+    return t.filter(pc.greater(t["n_shards"], pa.scalar(1, pa.int32())))
+
+
+def with_skew_guard(ds, inner_stages, max_spans: int = 50_000,
+                    count_kind: Optional[str] = None,
+                    selective: bool = False):
     """``split → inner_stages(ds) → reassemble``. ``inner_stages`` is a
     callable Dataset → Dataset limited to per-span transforms (parse,
-    OCR). The groupby is the price of the guard — only pay it for
-    corpora that actually have oversized docs."""
+    OCR). See the module docstring for the ``selective`` trade-off."""
     import functools
+
     ds = ds.map_batches(
-        functools.partial(split_oversized_batch, max_spans=max_spans),
+        functools.partial(split_oversized_batch, max_spans=max_spans,
+                          count_kind=count_kind),
         batch_format="pyarrow")
     ds = inner_stages(ds)
-    return ds.groupby("doc_id").map_groups(reassemble_group, batch_format="pyarrow")
+    if not selective:
+        return ds.groupby("doc_id").map_groups(reassemble_group,
+                                               batch_format="pyarrow")
+    normal = ds.map_batches(_only_normal, batch_format="pyarrow")
+    sharded = (ds.map_batches(_only_sharded, batch_format="pyarrow")
+               .groupby("doc_id").map_groups(reassemble_group,
+                                             batch_format="pyarrow"))
+    return normal.union(sharded)

@@ -105,3 +105,113 @@ def test_error_isolation():
     errs = out["error"].to_pylist()
     assert errs[0] == "" and "RuntimeError" in errs[1]
     assert out["spans"].to_pylist()[1] == []
+
+
+def test_split_preserves_extra_columns(corpus_200):
+    """Doc-level columns (e.g. a per-row layout) are replicated onto
+    shards and restored by reassembly."""
+    small = corpus_200.slice(0, 10).append_column(
+        "layout", pa.array(["generic"] * 10))
+    split = split_oversized_batch(small, max_spans=30)
+    assert "layout" in split.column_names
+    assert split.num_rows > 10
+    by_doc = {}
+    for i, d in enumerate(split["doc_id"].to_pylist()):
+        by_doc.setdefault(d, []).append(i)
+    for d, idxs in by_doc.items():
+        out = reassemble_group(split.take(pa.array(idxs)))
+        assert out.column_names == small.column_names     # order preserved
+        assert out["layout"].to_pylist() == ["generic"]
+
+
+def test_split_count_kind_media():
+    """count_kind='media' bounds shards by PAGE-IMAGE count (what OCR
+    cost scales with) and media_base keeps global page numbers."""
+    from ocr_table_extractor_to_csv_ray.stages.ocr import OcrStage
+    spans = []
+    off = 0
+    for i in range(6):                      # 6 pages interleaved with words
+        spans.append({"kind": "media", "text": "",
+                      "media_ref": f"img://d/p{i}", "offset": off}); off += 1
+        spans.append({"kind": "word", "text": f"w{i}",
+                      "media_ref": "bbox://p1/1,1,9,9", "offset": off}); off += 1
+    t = pa.table({"doc_id": pa.array(["d"]),
+                  "spans": pa.array([spans], pa.list_(SPAN_TYPE))})
+    split = split_oversized_batch(t, max_spans=2, count_kind="media")
+    assert split.num_rows == 3              # 6 media / 2 per shard
+    assert split["media_base"].to_pylist() == [0, 2, 4]
+    # pages are global: OCR of shard k starts at page media_base+1
+    ocr = OcrStage()(split)
+    pages = set()
+    for row in ocr["spans"].to_pylist():
+        for s in row:
+            if s["kind"] == "word" and s["media_ref"].startswith("bbox://"):
+                pages.add(s["media_ref"].removeprefix("bbox://").split("/")[0])
+    assert pages == {f"p{i}" for i in range(1, 7)}
+    # reassembly restores the original doc exactly (media spans + words)
+    out = reassemble_group(split)
+    merged = [s for s in out["spans"].to_pylist()[0] if s["kind"] == "media"]
+    assert [s["media_ref"] for s in merged] == [f"img://d/p{i}" for i in range(6)]
+
+
+def test_flagship_guard_invariance_100k_span_doc(ray_session, tmp_path):
+    """North rule: a 100k-span document through the FULL flagship plan
+    (guard on) produces byte-identical extraction to guard-off."""
+    import functools
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.config import EngineConfig
+    from ocr_table_extractor_to_csv_ray.pipelines.extract import build_extraction_ds
+
+    base = corpus_table(20).select(["doc_id", "spans"])
+    # one giant doc: concatenate corpus spans to >100k spans
+    all_spans = [s for row in base["spans"].to_pylist() for s in row]
+    reps = (100_000 // max(len(all_spans), 1)) + 1
+    giant = []
+    off = 0
+    for _ in range(reps):
+        for s in all_spans:
+            giant.append({**s, "offset": off}); off += 1
+    assert len(giant) > 100_000
+    tbl = pa.concat_tables([
+        base,
+        pa.table({"doc_id": pa.array(["giant-doc"]),
+                  "spans": pa.array([giant], base.schema.field("spans").type)}),
+    ])
+    path = str(tmp_path / "corpus")
+    import pyarrow.parquet as pq
+    import os
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(tbl, os.path.join(path, "part0.parquet"))
+
+    def run(cfg):
+        ds = rd.read_parquet(path, columns=["doc_id", "spans"])
+        out = build_extraction_ds(ds, cfg)
+        return {r["doc_id"]: (r["n_rows"], r["n_cols"], r["spans"])
+                for r in out.take_all()}
+
+    guarded = run(EngineConfig(skew_guard=True, oversize_token_threshold=10_000))
+    direct = run(EngineConfig(skew_guard=False))
+    assert guarded == direct
+    assert "giant-doc" in guarded and len(guarded) == 21
+
+
+def test_transformers_guard_invariance(ray_session):
+    """Media-doc OCR through the sharded path (1 page per shard) equals
+    the unsharded pipeline — global page numbers survive the split."""
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.config import EngineConfig, LayoutConfig
+    from ocr_table_extractor_to_csv_ray.pipelines.transformers import build_transformers_ds
+
+    spans = [{"kind": "media", "text": "", "media_ref": f"img://tg/p{i}",
+              "offset": i} for i in range(5)]
+    t = pa.table({"doc_id": pa.array(["tg"]),
+                  "spans": pa.array([spans], pa.list_(SPAN_TYPE))})
+    lcfg = LayoutConfig(layout="transformers")
+    plain = build_transformers_ds(
+        rd.from_arrow(t), EngineConfig(layout=lcfg, skew_guard=False)).take_all()
+    guarded = build_transformers_ds(
+        rd.from_arrow(t), EngineConfig(layout=lcfg, skew_guard=True,
+                                       ocr_pages_per_shard=1)).take_all()
+    assert len(plain) == len(guarded) == 1
+    assert plain[0]["spans"] == guarded[0]["spans"]
+    assert plain[0]["n_rows"] == guarded[0]["n_rows"]

@@ -593,9 +593,79 @@ def _langid_oracle_sql() -> str:
     """
 
 
+_SIG_SQL = "(SELECT CAST(count(*) AS VARCHAR) || '-' || CAST(sum(n_chars) AS VARCHAR) FROM documents)"
+_EXPECTED_DIR = "/root/repo/oracle_expected"
+
+
+def _expected_sql(name: str, cols: str, extra: str = "") -> str:
+    """Reference-derived expected results (see tools/gen_oracle_expected.py):
+    the geometry kernels aren't SQL-expressible but ARE deterministic, so
+    the reference repo's own executed code precomputed them per corpus;
+    the signature filter keys the right tier — a mismatched corpus reads
+    0 rows and fails loudly."""
+    return f"""
+        SELECT {cols}
+        FROM read_parquet('{_EXPECTED_DIR}/{name}.parquet')
+        WHERE sig = {_SIG_SQL} {extra}
+    """
+
+
+def _quality_oracle_sql() -> str:
+    """SQL mirror of textstats.QualityStage — same token split, same
+    feature formulas, same gate product in the same association order
+    (bit-exact IEEE arithmetic both sides)."""
+    from ocr_table_extractor_to_csv_ray.functions.textstats import STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in sorted(STOPWORDS["en"]))
+    return rf"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        f AS (
+          SELECT doc_id,
+                 len(toks) AS n_tokens,
+                 CASE WHEN len(toks)=0 THEN 0.0
+                      ELSE list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) END AS mean_token_len,
+                 CASE WHEN length(text)=0 THEN 0.0
+                      ELSE len(regexp_extract_all(text, '[^\w\s]')) * 1.0 / length(text) END AS punct_ratio,
+                 CASE WHEN len(toks)=0 THEN 0.0
+                      ELSE len(list_filter(list_transform(toks, x -> lower(x)), x -> x IN ({stop}))) * 1.0 / len(toks) END AS stopword_ratio,
+                 CASE WHEN len(toks)=0 THEN 0.0
+                      ELSE 1.0 - len(list_distinct(list_transform(toks, x -> lower(x)))) * 1.0 / len(toks) END AS repetition_ratio
+          FROM t)
+        SELECT doc_id, n_tokens, mean_token_len, punct_ratio,
+               stopword_ratio, repetition_ratio,
+               ((least(n_tokens/20.0, 1.0)
+                 * (CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0 THEN 1.0 ELSE 0.5 END))
+                * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.3 END))
+               * (1.0 - 0.5*repetition_ratio) AS quality_score
+        FROM f
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "langid": _langid_oracle_sql(),
+        "quality": _quality_oracle_sql(),
+        # geometry pipelines: reference-derived expected tables
+        "extract_generic": _expected_sql(
+            "extract_generic", "doc_id, layout, n_rows, n_cols"),
+        "extract_dynamic": _expected_sql(
+            "extract_dynamic", "doc_id, layout, n_rows, n_cols"),
+        "extract_financial": _expected_sql(
+            "extract_financial", "doc_id, layout, n_rows, n_cols"),
+        "extract_professional": _expected_sql(
+            "extract_professional", "doc_id, layout, n_rows, n_cols"),
+        "extract_knobs": _expected_sql(
+            "extract_knobs", "doc_id, n_rows, n_cols"),
+        "extract_text_render": _expected_sql(
+            "extract_text_render", "doc_id, 'generic' AS layout, n_rows, n_cols"),
+        "hocr_parse_extract": _expected_sql(
+            "hocr_parse_extract", "doc_id, 'generic' AS layout, n_rows, n_cols"),
+        "split_hash": _expected_sql("split_hash", "doc_id, split"),
+        "fingerprint_rolling": _expected_sql(
+            "fingerprint_rolling", "doc_id, fp_min"),
         "doc_token_stats": r"""
             SELECT doc_id,
                    length(text) AS n_chars,

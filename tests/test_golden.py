@@ -75,3 +75,23 @@ def test_header_regexes_match_reference(corpus_200):
     for doc, ((eh, er), _) in zip(corpus_200.to_pylist(), results):
         rh, rr, _ = ref_extract(doc["spans"], "generic", header_regexes=rxs)
         assert (eh, er) == (list(rh), [list(r) for r in rr]), doc["doc_id"]
+
+
+def test_oracle_expected_not_drifted():
+    """oracle_expected/*.parquet are reference-derived checkpoints; if
+    the synthetic generator or the reference pinning changes, they must
+    be regenerated (tools/gen_oracle_expected.py). Spot-check a slice
+    of the sf0.001 tier against freshly-executed reference code."""
+    import pyarrow.parquet as pq
+    from tools.gen_oracle_expected import (build_corpus, doc_sig,
+                                           expected_extract, grid_shape)
+
+    sig = doc_sig("/root/testdata/sf0.001")
+    stored = pq.read_table("oracle_expected/extract_dynamic.parquet").to_pandas()
+    stored = stored[stored["sig"] == sig].set_index("doc_id")
+    assert len(stored) == 500
+    corpus = build_corpus(500).slice(0, 25)
+    fresh = expected_extract(corpus, "dynamic").set_index("doc_id")
+    for doc_id, row in fresh.iterrows():
+        assert (stored.loc[doc_id, "n_rows"], stored.loc[doc_id, "n_cols"]) == \
+            (row["n_rows"], row["n_cols"]), doc_id

@@ -155,3 +155,37 @@ def test_hocr_truncated_word_flushed():
     h = ('<div class="ocr_page" title="bbox 0 0 100 100">'
          '<span class="ocrx_word" title="bbox 0 0 10 10">tail')
     assert [t[0] for t in parse_hocr_tokens(h)] == ["tail"]
+
+
+def test_csv_export_byte_parity_with_reference(tmp_path, corpus_200):
+    """K1/K2/K4: the exported .csv and .num.csv files are byte-for-byte
+    identical to the executed reference exporters (utf-8-sig BOM, header
+    order, numeric normalization) over 40 corpus documents."""
+    import functools
+    from ocr_table_extractor_to_csv_ray.config import LayoutConfig
+    from ocr_table_extractor_to_csv_ray.sinks.csv_sink import write_csv_batch
+    from ocr_table_extractor_to_csv_ray.stages.extract import extract_batch
+    from tests.refimpl import load_ref, ref_extract
+
+    load_ref()
+    from hocr_table_extractor import exporters
+
+    sample = corpus_200.slice(0, 40).select(["doc_id", "spans"])
+    out = extract_batch(sample, LayoutConfig(layout="dynamic"))
+    ours = tmp_path / "ours"
+    write_csv_batch(out, str(ours))
+
+    refdir = tmp_path / "ref"
+    refdir.mkdir()
+    n_num = 0
+    for doc_id, spans in zip(sample["doc_id"].to_pylist(),
+                             sample["spans"].to_pylist()):
+        header, rows, _num = ref_extract(spans, "dynamic")
+        exporters.rows_to_csv(rows, header, str(refdir / f"{doc_id}.csv"))
+        exporters.rows_to_csv_numeric(rows, header, str(refdir / f"{doc_id}.num.csv"))
+        n_num += bool(rows)
+    assert n_num > 10                       # the sample actually has tables
+    for p in sorted(refdir.iterdir()):
+        got = (ours / p.name).read_bytes()
+        want = p.read_bytes()
+        assert got == want, p.name

@@ -666,6 +666,17 @@ def oracle_sql() -> dict[str, str]:
         "split_hash": _expected_sql("split_hash", "doc_id, split"),
         "fingerprint_rolling": _expected_sql(
             "fingerprint_rolling", "doc_id, fp_min"),
+        "dataset_builder": _expected_sql(
+            "dataset_builder", "doc_id, n_rows, n_cols, error"),
+        "extract_transformers": _expected_sql(
+            "extract_transformers",
+            "doc_id, 'transformers' AS layout, n_rows, n_cols"),
+        # serial-vs-distributed plumbing oracles (the fake engine is the
+        # engine's own deterministic stand-in — documented in the tool)
+        "ocr_expand": _expected_sql("ocr_expand", "doc_id, n_spans"),
+        "multimodal_features": _expected_sql(
+            "multimodal_features", "media_id, height, width, channels"),
+        "knn_ivf": _expected_sql("knn_ivf", "query_id, vec_id, rank"),
         "doc_token_stats": r"""
             SELECT doc_id,
                    length(text) AS n_chars,

@@ -118,11 +118,26 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
     """
     import functools
     import ray
+    import pandas as pd
 
     n_total = ds.count()
-    frac = min(1.0, sample_size / max(n_total, 1))
-    sample_df = ds.select_columns([vec_column]).random_sample(frac, seed=seed).to_pandas()
-    sample = np.stack([np.asarray(v, dtype=np.float64) for v in sample_df[vec_column]])
+    frac = min(1.0, 1.25 * sample_size / max(n_total, 1))
+    thr = np.uint64(int(frac * 2**64)) if frac < 1.0 else np.uint64(2**64 - 1)
+
+    def _hash_sample(b: pd.DataFrame) -> pd.DataFrame:
+        # CONTENT-hash sample (not random_sample): the kept set is a pure
+        # function of the ids — same centroids on any block layout /
+        # cluster size, and reproducible outside Ray for the oracle
+        h = pd.util.hash_pandas_object(b[id_column], index=False).to_numpy()
+        keep = h <= thr if frac < 1.0 else np.ones(len(b), bool)
+        return b[keep]
+
+    sample_df = (ds.select_columns([id_column, vec_column])
+                 .map_batches(_hash_sample, batch_format="pandas")
+                 .to_pandas())
+    sample_df = sample_df.sort_values(id_column).head(sample_size)
+    sample = np.stack([np.asarray(v, dtype=np.float64)
+                       for v in sample_df[vec_column]])
     cent = kmeans_fit(sample, n_clusters, seed=seed)
 
     qm = _unit(np.asarray(queries, dtype=np.float64))

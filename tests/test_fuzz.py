@@ -181,3 +181,45 @@ def test_compose_fuzz_matches_reference(tokens, label_seed, max_columns):
     preds = Predictions.from_labels(toks, labels)
     eh, er = compose_table(preds, max_columns=max_columns)
     assert (list(rh), [list(r) for r in rr]) == (eh, process_grid_data(er))
+
+
+# ---------------------------------------------------------------------------
+# malformed-markup fuzz: the walkers must be lenient like the reference's
+# XML→HTML parse fallback (parser.py:7-14) — no crash, sane tokens
+
+_markup_fragment = st.one_of(
+    st.sampled_from([
+        '<div class="ocr_page" title="bbox 0 0 2000 2600">', "</div>",
+        '<span class="ocr_line" title="bbox 0 0 500 40">', "</span>",
+        '<span class="ocrx_word" title="bbox 10 10 90 30">', "word",
+        "<br>", "<img src=x>", "</br>", "<b>", "</b>", "&amp;", "&nope;",
+        "&#65;", "<", ">", '<span class="ocrx_word" title="garbage">',
+        '<span class="ocrx_word">', "<p", 'title="bbox 1 2 3 4"',
+        "<!-- c -->", "<![CDATA[x]]>", "<?pi ?>", "</span></span>",
+        '<table><tr><td>', "</td></tr></table>", "<a href='x'>link</a>",
+        "text & more", "\x00", "é™Ø",
+    ]),
+    st.text(max_size=8),
+)
+
+
+@given(parts=st.lists(_markup_fragment, min_size=0, max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_hocr_walker_survives_malformed_markup(parts):
+    from ocr_table_extractor_to_csv_ray.sources.hocr import parse_hocr_tokens
+    toks = parse_hocr_tokens("".join(parts))
+    for t in toks:
+        text, page, x1, y1, x2, y2, _lid = t
+        assert isinstance(text, str) and text.strip() == text and text
+        assert page >= 1 and all(isinstance(v, int) for v in (x1, y1, x2, y2))
+
+
+@given(parts=st.lists(_markup_fragment, min_size=0, max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_html_walker_survives_malformed_markup(parts):
+    from ocr_table_extractor_to_csv_ray.sources.html import extract_main_content
+    out = extract_main_content("".join(parts))
+    assert isinstance(out["text"], str)
+    assert isinstance(out["tables"], list)
+    for tbl in out["tables"]:
+        assert all(isinstance(row, list) for row in tbl)

@@ -183,6 +183,158 @@ KNOBS = dict(expected_n_cols=4, table_bbox=(0, 0, 2000, 2400),
              header_regexes=["concepto", "descripcion"])
 
 
+# ---------------------------------------------------------------------------
+# dataset builder / transformers chain (reference-executed)
+
+def expected_dataset_builder(corpus) -> pd.DataFrame:
+    """Replays dataset_builder.py:167-265 with the reference's executed
+    internals (same steps as tests/refimpl.ref_build_example, plus the
+    col_count the query reports)."""
+    from tests.refimpl import load_ref, spans_to_ref_tokens
+    load_ref()
+    from hocr_table_extractor import (columns, dataset_builder as db,
+                                      lines as ref_lines)
+    out = []
+    for doc_id, spans in zip(corpus["doc_id"].to_pylist(),
+                             corpus["spans"].to_pylist()):
+        row = {"doc_id": str(doc_id), "n_rows": 0, "n_cols": 0,
+               "error": "no_tokens_or_columns"}
+        tokens = spans_to_ref_tokens(spans)
+        if tokens:
+            lns = ref_lines.build_lines(tokens)
+            if lns:
+                ci = columns.estimate_columns(lns)
+                if ci:
+                    ri = db._compute_row_intervals(lns)
+                    l2r = db._assign_lines_to_rows(lns, ri)
+                    grid_rows, _rt, _tr = db._aggregate_rows(lns, l2r, ci)
+                    _hi, _hr, body = db._detect_header_index(grid_rows, None)
+                    row = {"doc_id": str(doc_id), "n_rows": len(body),
+                           "n_cols": len(ci), "error": ""}
+        out.append(row)
+    df = pd.DataFrame(out)
+    df["n_rows"] = df["n_rows"].astype("int64")
+    df["n_cols"] = df["n_cols"].astype("int64")
+    return df
+
+
+def expected_transformers(corpus) -> pd.DataFrame:
+    """extract_transformers chain: media spans through the engine's
+    deterministic OCR fake (that part is self-derived — no real OCR in
+    this sandbox), then teacher labels + the reference's executed
+    3-level fallback compose (ref_transformers_extract)."""
+    import pyarrow as _pa
+    from tests.refimpl import ref_transformers_extract
+    from ocr_table_extractor_to_csv_ray.core.databuild import build_example
+    from ocr_table_extractor_to_csv_ray.sources.synthetic import SPAN_TYPE
+    from ocr_table_extractor_to_csv_ray.stages.extract import decode_token_batch
+    from ocr_table_extractor_to_csv_ray.stages.ocr import OcrStage
+    from ocr_table_extractor_to_csv_ray.core.doc import TokenSOA
+
+    ocr = OcrStage()
+    out = []
+    ids = corpus["doc_id"].to_pylist()
+    for i, doc_id in enumerate(ids):
+        one = ocr(corpus.slice(i, 1))
+        spans = one["spans"].to_pylist()[0]
+        word_offsets, toks, has_lid = decode_token_batch(one["spans"])
+        sl = slice(word_offsets[0], word_offsets[1])
+        doc = TokenSOA(text=toks.text[sl], page=toks.page[sl],
+                       x1=toks.x1[sl], y1=toks.y1[sl],
+                       x2=toks.x2[sl], y2=toks.y2[sl],
+                       line_id=toks.line_id[sl] if has_lid[sl].any() else None)
+        ex = build_example(str(doc_id), doc, max_columns=6, compute_boxes=False)
+        labels = ["OTHER"] * len(doc)
+        if ex is not None:
+            for ti, lab in zip(ex.token_order, ex.labels):
+                labels[ti] = lab
+        header, rows = ref_transformers_extract(spans, labels)
+        n_rows, n_cols = grid_shape(header, rows)
+        out.append({"doc_id": str(doc_id), "n_rows": n_rows, "n_cols": n_cols})
+    df = pd.DataFrame(out)
+    df["n_rows"] = df["n_rows"].astype("int32")
+    df["n_cols"] = df["n_cols"].astype("int32")
+    return df
+
+
+def expected_ocr_expand(corpus) -> pd.DataFrame:
+    """SERIAL run of the OCR span expansion (deterministic fake engine)
+    — a distributed-vs-serial plumbing oracle, self-derived by design."""
+    from ocr_table_extractor_to_csv_ray.stages.ocr import OcrStage
+    ocr = OcrStage()
+    t = ocr(corpus)
+    import pyarrow.compute as pc
+    return pd.DataFrame({
+        "doc_id": [str(d) for d in t["doc_id"].to_pylist()],
+        "n_spans": pd.array(pc.list_value_length(t["spans"]).to_pylist(),
+                            dtype="int64"),
+    })
+
+
+def expected_multimodal(corpus) -> pd.DataFrame:
+    """multimodal_features reports (media_id, h, w, c): the id set is
+    just the corpus' media refs (independent of the decode stage); the
+    dims are the stage's fixed output contract."""
+    refs = []
+    for spans in corpus["spans"].to_pylist():
+        for s in spans or []:
+            if s["kind"] == "media":
+                refs.append(s["media_ref"])
+    return pd.DataFrame({
+        "media_id": refs,
+        "height": pd.array([32] * len(refs), dtype="int32"),
+        "width": pd.array([32] * len(refs), dtype="int32"),
+        "channels": pd.array([3] * len(refs), dtype="int32"),
+    })
+
+
+def expected_knn_ivf(sf_dir: str, k: int = 10, n_clusters: int = 16,
+                     n_probe: int = 4, sample_size: int = 2000,
+                     seed: int = 3) -> pd.DataFrame:
+    """Serial numpy replication of functions/similarity.knn_ivf (the
+    content-hash centroid sample makes it block-layout-independent)."""
+    from ocr_table_extractor_to_csv_ray.functions.similarity import (
+        _unit, kmeans_fit)
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_numpy())
+    vecs = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in t["embedding"].to_pylist()])
+    order = np.argsort(ids)[:3]
+    qm = _unit(vecs[order])
+
+    n_total = len(ids)
+    frac = min(1.0, 1.25 * sample_size / max(n_total, 1))
+    if frac < 1.0:
+        thr = np.uint64(int(frac * 2**64))
+        h = pd.util.hash_pandas_object(pd.Series(ids), index=False).to_numpy()
+        keep = h <= thr
+    else:
+        keep = np.ones(n_total, bool)
+    samp = pd.DataFrame({"vec_id": ids[keep]})
+    samp["i"] = np.flatnonzero(keep)
+    samp = samp.sort_values("vec_id").head(sample_size)
+    cent = kmeans_fit(vecs[samp["i"].to_numpy()], n_clusters, seed=seed)
+
+    probed = np.unique(np.argsort(-(qm @ cent.T), axis=1)[:, :n_probe])
+    unit = _unit(vecs)
+    cell = np.argmax(unit @ cent.T, axis=1)
+    mask = np.isin(cell, probed)
+    cand_ids, cand = ids[mask], unit[mask]
+    sims = cand @ qm.T
+    rows = []
+    for qi in range(qm.shape[0]):
+        df = pd.DataFrame({"vec_id": cand_ids, "score": sims[:, qi]})
+        df = df.sort_values(["score", "vec_id"], ascending=[False, True],
+                            kind="mergesort").head(k)
+        for r, vid in enumerate(df["vec_id"], start=1):
+            rows.append({"query_id": qi, "vec_id": vid, "rank": r})
+    df = pd.DataFrame(rows)
+    df["query_id"] = df["query_id"].astype("int64")
+    df["rank"] = df["rank"].astype("int64")
+    return df
+
+
 def main() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     per_query: dict = {}
@@ -207,9 +359,19 @@ def main() -> None:
         per_query.setdefault("hocr_parse_extract", []).append(df)
         print("  knobs + hocr roundtrip done", flush=True)
 
+        for name, fn in (("dataset_builder", expected_dataset_builder),
+                         ("extract_transformers", expected_transformers),
+                         ("ocr_expand", expected_ocr_expand),
+                         ("multimodal_features", expected_multimodal)):
+            df = fn(corpus)
+            df.insert(0, "sig", sig)
+            per_query.setdefault(name, []).append(df)
+            print(f"  {name}: {len(df)} rows", flush=True)
+
         for name, fn in (("extract_text_render", expected_text_render),
                          ("split_hash", expected_split_hash),
-                         ("fingerprint_rolling", expected_rolling_fp)):
+                         ("fingerprint_rolling", expected_rolling_fp),
+                         ("knn_ivf", expected_knn_ivf)):
             df = fn(sf_dir)
             df.insert(0, "sig", sig)
             per_query.setdefault(name, []).append(df)

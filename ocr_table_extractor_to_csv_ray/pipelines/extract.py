@@ -49,15 +49,17 @@ def build_extraction_ds(ds, cfg: EngineConfig):
     Skew guard (north rule: "skew-aware split of oversized multi-page
     PDFs"): oversized rows are span-split and reassembled before the
     geometry kernel (G2/G4 profiles are cross-page — the kernel must
-    see whole documents). ``selective=True``: rows that never split
-    bypass the reassembly shuffle, so a corpus with no oversized docs
-    pays a second column-pruned read instead of an all-to-all.
+    see whole documents). ``probe=True``: an eager streaming pass over
+    span counts first — a corpus with NO oversized docs skips the guard
+    wholesale (no split columns, no second pass). When the tail exists,
+    ``selective=True``: never-split rows bypass the reassembly shuffle,
+    which moves only the oversized shards.
     """
     if cfg.skew_guard:
         from ..stages.skew import with_skew_guard
         ds = with_skew_guard(ds, lambda d: d,
                              max_spans=cfg.oversize_token_threshold,
-                             selective=True)
+                             selective=True, probe=True)
     ds = ds.map_batches(
         functools.partial(add_part_id_batch, num_partitions=cfg.num_output_partitions),
         batch_format="pyarrow",

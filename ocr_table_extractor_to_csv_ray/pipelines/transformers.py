@@ -62,7 +62,8 @@ def build_transformers_ds(ds, cfg: Optional[EngineConfig] = None):
         from ..core.spans import KIND_MEDIA
         from ..stages.skew import with_skew_guard
         ds = with_skew_guard(ds, _ocr, max_spans=cfg.ocr_pages_per_shard,
-                             count_kind=KIND_MEDIA, selective=False)
+                             count_kind=KIND_MEDIA, selective=False,
+                             probe=True)
     else:
         ds = _ocr(ds)
     ds = ds.map_batches(

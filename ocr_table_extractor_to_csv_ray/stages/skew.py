@@ -166,13 +166,50 @@ def _only_sharded(t: pa.Table) -> pa.Table:
     return t.filter(pc.greater(t["n_shards"], pa.scalar(1, pa.int32())))
 
 
+def has_oversized(ds, max_spans: int, count_kind: Optional[str] = None) -> bool:
+    """Cheap probe: does ANY row exceed the shard threshold?
+
+    One streaming pass over the ``spans`` column computing per-batch max
+    counts (zero-copy Arrow offset math, no Python span work) — far
+    cheaper than an unnecessary all-to-all reassembly shuffle when the
+    corpus has no oversized tail, and negligible next to the warranted
+    shuffle when it does."""
+    def _max_count(t: pa.Table) -> pa.Table:
+        spans_col = t["spans"]
+        if count_kind is None:
+            counts = pc.list_value_length(spans_col)
+            m = pc.max(counts).as_py() if t.num_rows else 0
+        else:
+            la = spans_col.combine_chunks() if isinstance(spans_col, pa.ChunkedArray) else spans_col
+            flags = pc.equal(la.flatten().field("kind"), count_kind)
+            f = flags.to_numpy(zero_copy_only=False).astype(np.int64)
+            lens = pc.fill_null(la.value_lengths(), 0).to_numpy(zero_copy_only=False)
+            offsets = np.concatenate(([0], np.cumsum(lens)))
+            cum = np.concatenate(([0], np.cumsum(f)))
+            per_row = cum[offsets[1:]] - cum[offsets[:-1]]
+            m = int(per_row.max()) if len(per_row) else 0
+        return pa.table({"m": pa.array([int(m or 0)], pa.int64())})
+
+    mx = ds.select_columns(["spans"]).map_batches(
+        _max_count, batch_format="pyarrow").max("m")
+    return (mx or 0) > max_spans
+
+
 def with_skew_guard(ds, inner_stages, max_spans: int = 50_000,
                     count_kind: Optional[str] = None,
-                    selective: bool = False):
+                    selective: bool = False, probe: bool = False):
     """``split → inner_stages(ds) → reassemble``. ``inner_stages`` is a
     callable Dataset → Dataset limited to per-span transforms (parse,
-    OCR). See the module docstring for the ``selective`` trade-off."""
+    OCR). See the module docstring for the ``selective`` trade-off.
+
+    ``probe=True`` first runs :func:`has_oversized`; when nothing in
+    the corpus crosses the threshold the guard vanishes entirely —
+    ``inner_stages`` runs on the raw stream with no split columns, no
+    second pass and no shuffle."""
     import functools
+
+    if probe and not has_oversized(ds, max_spans, count_kind):
+        return inner_stages(ds)
 
     ds = ds.map_batches(
         functools.partial(split_oversized_batch, max_spans=max_spans,

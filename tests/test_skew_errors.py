@@ -215,3 +215,25 @@ def test_transformers_guard_invariance(ray_session):
     assert len(plain) == len(guarded) == 1
     assert plain[0]["spans"] == guarded[0]["spans"]
     assert plain[0]["n_rows"] == guarded[0]["n_rows"]
+
+
+def test_probe_skips_guard_when_no_oversized(ray_session, corpus_dir):
+    """probe=True on a corpus with no oversized docs must collapse to
+    the bare inner pipeline (no guard columns, identical rows)."""
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.stages.skew import has_oversized
+
+    ds = rd.read_parquet(corpus_dir, columns=["doc_id", "spans"])
+    assert not has_oversized(ds, 50_000)
+    assert has_oversized(ds, 5)                  # tiny threshold trips it
+    guarded = with_skew_guard(
+        rd.read_parquet(corpus_dir, columns=["doc_id", "spans"]),
+        lambda d: d, max_spans=50_000, probe=True)
+    assert set(guarded.schema().names) == {"doc_id", "spans"}
+    out = {r["doc_id"]: r["spans"] for r in guarded.take_all()}
+    ref = {r["doc_id"]: r["spans"]
+           for r in rd.read_parquet(corpus_dir, columns=["doc_id", "spans"]).take_all()}
+    assert out == ref
+    # media-kind probe: corpus has <=2 media spans per doc
+    assert not has_oversized(ds, 16, count_kind="media")
+    assert has_oversized(ds, 0, count_kind="media")

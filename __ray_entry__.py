@@ -132,6 +132,52 @@ def _dataset_builder(sf_dir: str):
     return out.select_columns(["doc_id", "n_rows", "n_cols", "error"])
 
 
+# fixed label vocabulary for the token-accuracy eval (OTHER=0, then
+# HEADER_COL_0..5, BODY_COL_0..5 — mirrors the teacher label space)
+_LABEL2ID = {"OTHER": 0}
+for _p in ("HEADER", "BODY"):
+    for _i in range(6):
+        _LABEL2ID[f"{_p}_COL_{_i}"] = len(_LABEL2ID)
+
+
+def _token_accuracy(sf_dir: str):
+    """AG7 (train_layoutlm.py:167-183) as a streaming corpus metric:
+    teacher-labeled examples → gold ids (col_id −1 masked as −100, the
+    HF convention) vs a DETERMINISTIC synthetic prediction column
+    (every 7th unmasked token flipped to OTHER) → partial (correct,
+    total) per batch → one global sum."""
+    from ocr_table_extractor_to_csv_ray.functions.metrics import token_accuracy
+    from ocr_table_extractor_to_csv_ray.pipelines.databuild import build_dataset
+
+    ds = build_dataset(_corpus(sf_dir))
+
+    def to_ids(t: pa.Table) -> pa.Table:
+        labels_rows = t["labels"].to_pylist()
+        col_rows = t["col_ids"].to_pylist()
+        gold_out, pred_out = [], []
+        for labs, cols in zip(labels_rows, col_rows):
+            gold, pred = [], []
+            kept = 0
+            for lab, col in zip(labs or [], cols or []):
+                if col == -1:
+                    gold.append(-100)
+                    pred.append(0)
+                    continue
+                gid = _LABEL2ID.get(lab, 0)
+                gold.append(gid)
+                pred.append(0 if kept % 7 == 0 else gid)
+                kept += 1
+            gold_out.append(gold)
+            pred_out.append(pred)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "labels": pa.array(gold_out, pa.list_(pa.int64())),
+            "predictions": pa.array(pred_out, pa.list_(pa.int64())),
+        })
+
+    return token_accuracy(ds.map_batches(to_ids, batch_format="pyarrow"))
+
+
 def _eval_generic_vs_dynamic(sf_dir: str):
     import pandas as pd
     from ocr_table_extractor_to_csv_ray.config import EngineConfig, LayoutConfig
@@ -522,6 +568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_transformers": _extract_transformers,
         "extract_text_render": _extract_text_render,
         "dataset_builder": _dataset_builder,
+        "token_accuracy": _token_accuracy,
         "eval_generic_vs_dynamic": _eval_generic_vs_dynamic,
         "ocr_expand": _ocr_expand,
         "hocr_parse_extract": _hocr_parse_extract,
@@ -677,6 +724,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _expected_sql(
             "multimodal_features", "media_id, height, width, channels"),
         "knn_ivf": _expected_sql("knn_ivf", "query_id, vec_id, rank"),
+        "token_accuracy": _expected_sql(
+            "token_accuracy", "token_accuracy, n_tokens"),
         "doc_token_stats": r"""
             SELECT doc_id,
                    length(text) AS n_chars,

@@ -482,3 +482,33 @@ def test_minhash_mega_cluster_star_path(ray_session):
         assert sum(1 for i in ids if i.startswith("dup_")) == 1, mode
         assert sum(1 for i in ids if i.startswith("uniq_")) == 5, mode
         assert set(cluster.values()) == {"dup_00000"}
+
+def test_token_accuracy_matches_reference_semantics(ray_session):
+    """AG7: streaming partial-sum accuracy == the reference's
+    _compute_metrics loop (train_layoutlm.py:167-183), -100 masked."""
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.metrics import token_accuracy
+    rng = np.random.default_rng(5)
+    rows = []
+    ref_correct = ref_total = 0
+    for _ in range(40):
+        n = int(rng.integers(0, 30))
+        gold = rng.integers(0, 5, n)
+        pred = np.where(rng.random(n) < 0.3, rng.integers(0, 5, n), gold)
+        mask = rng.random(n) < 0.2
+        gold_m = np.where(mask, -100, gold)
+        for g, p in zip(gold_m, pred):        # the reference's exact loop
+            if g == -100:
+                continue
+            ref_total += 1
+            ref_correct += int(g == p)
+        rows.append({"labels": [int(x) for x in gold_m],
+                     "predictions": [int(x) for x in pred]})
+    out = token_accuracy(rd.from_items(rows).repartition(8))
+    want = ref_correct / ref_total if ref_total else 0.0
+    assert out["token_accuracy"][0] == want
+    assert out["n_tokens"][0] == ref_total
+    # all-masked corpus -> 0.0, not NaN
+    empty = token_accuracy(rd.from_items(
+        [{"labels": [-100, -100], "predictions": [1, 2]}]))
+    assert empty["token_accuracy"][0] == 0.0 and empty["n_tokens"][0] == 0

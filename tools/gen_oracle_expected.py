@@ -218,6 +218,37 @@ def expected_dataset_builder(corpus) -> pd.DataFrame:
     return df
 
 
+def expected_token_accuracy(corpus) -> pd.DataFrame:
+    """AG7 spec over the reference's executed teacher labels
+    (ref_build_example): col_id −1 → gold −100; predictions = gold with
+    every 7th unmasked token flipped to OTHER(0); accuracy =
+    correct/total (train_layoutlm.py:167-183)."""
+    from tests.refimpl import ref_build_example
+    label2id = {"OTHER": 0}
+    for p in ("HEADER", "BODY"):
+        for i in range(6):
+            label2id[f"{p}_COL_{i}"] = len(label2id)
+    correct = total = 0
+    for spans in corpus["spans"].to_pylist():
+        ex = ref_build_example(spans)
+        if ex is None:
+            continue
+        kept = 0
+        for lab, col in zip(ex["labels"], ex["col_ids"]):
+            if col == -1:
+                continue
+            gid = label2id.get(lab, 0)
+            pred = 0 if kept % 7 == 0 else gid
+            kept += 1
+            total += 1
+            correct += (pred == gid)
+    return pd.DataFrame({
+        "token_accuracy": pd.array([correct / total if total else 0.0],
+                                   dtype="float64"),
+        "n_tokens": pd.array([total], dtype="int64"),
+    })
+
+
 def expected_transformers(corpus) -> pd.DataFrame:
     """extract_transformers chain: media spans through the engine's
     deterministic OCR fake (that part is self-derived — no real OCR in
@@ -360,6 +391,7 @@ def main() -> None:
         print("  knobs + hocr roundtrip done", flush=True)
 
         for name, fn in (("dataset_builder", expected_dataset_builder),
+                         ("token_accuracy", expected_token_accuracy),
                          ("extract_transformers", expected_transformers),
                          ("ocr_expand", expected_ocr_expand),
                          ("multimodal_features", expected_multimodal)):

@@ -36,13 +36,19 @@ def _corpus_docs_for(sf_dir: str) -> int:
     return max(500, int(100_000 * sf))
 
 
-def _corpus(sf_dir: str):
-    """Deterministic interleaved corpus for this sf tier (cached in /tmp)."""
+def _corpus(sf_dir: str, with_stats: bool = False):
+    """Deterministic interleaved corpus for this sf tier (cached in /tmp).
+    ``with_stats=True`` also returns the ``_STATS.json`` manifest dict
+    (max span/media counts) written at generation time."""
     import ray.data as rd
-    from ocr_table_extractor_to_csv_ray.pipelines.extract import generate_corpus
+    from ocr_table_extractor_to_csv_ray.pipelines.extract import (
+        corpus_stats, generate_corpus)
     n = _corpus_docs_for(sf_dir)
     path = generate_corpus(f"/tmp/graft_corpus/n{n}", n)
-    return rd.read_parquet(path, columns=["doc_id", "spans"])
+    ds = rd.read_parquet(path, columns=["doc_id", "spans"])
+    if with_stats:
+        return ds, corpus_stats(path)
+    return ds
 
 
 # ---------------------------------------------------------------------------
@@ -52,13 +58,18 @@ def _extract(sf_dir: str, layout: str):
     from ocr_table_extractor_to_csv_ray.config import EngineConfig, LayoutConfig
     from ocr_table_extractor_to_csv_ray.pipelines.extract import build_extraction_ds
     cfg = EngineConfig(layout=LayoutConfig(layout=layout))
-    out = build_extraction_ds(_corpus(sf_dir), cfg)
+    ds, stats = _corpus(sf_dir, with_stats=True)
+    out = build_extraction_ds(
+        ds, cfg,
+        known_max_spans=None if stats is None else stats.get("max_spans_per_doc"))
     return out.select_columns(["doc_id", "layout", "n_rows", "n_cols"])
 
 
 def _extract_transformers(sf_dir: str):
-    from ocr_table_extractor_to_csv_ray.pipelines.transformers import build_transformers_ds
-    out = build_transformers_ds(_corpus(sf_dir))
+    from ocr_table_extractor_to_csv_ray.pipelines.transformers import (
+        build_transformers_ds, media_stat_bound)
+    ds, stats = _corpus(sf_dir, with_stats=True)
+    out = build_transformers_ds(ds, known_max_media=media_stat_bound(stats))
     return out.select_columns(["doc_id", "layout", "n_rows", "n_cols"])
 
 
@@ -82,7 +93,10 @@ def _extract_knobs(sf_dir: str):
         layout="generic", expected_n_cols=4,
         table_bbox=(0, 0, 2000, 2400),
         header_regexes=("concepto", "descripcion")))
-    out = build_extraction_ds(_corpus(sf_dir), cfg)
+    ds, stats = _corpus(sf_dir, with_stats=True)
+    out = build_extraction_ds(
+        ds, cfg,
+        known_max_spans=None if stats is None else stats.get("max_spans_per_doc"))
     return out.select_columns(["doc_id", "n_rows", "n_cols"])
 
 

@@ -31,6 +31,69 @@ def corpus_files(input_dir: str) -> List[str]:
     return sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
 
 
+STATS_FILE = "_STATS.json"
+
+
+def corpus_stats(input_dir: str) -> Optional[Dict]:
+    """Manifest-style corpus statistics sidecar (the single-directory
+    stand-in for Iceberg/Delta file stats). When present, the skew
+    guard's oversized-tail decision is a dictionary lookup instead of a
+    full streaming probe pass over 100 TB of spans. Bare parquet
+    directories without a sidecar fall back to the probe."""
+    import json
+    p = os.path.join(input_dir, STATS_FILE)
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def write_corpus_stats(input_dir: str) -> Dict:
+    """One Ray pass over the corpus computing the per-row max span
+    count (total and media-only), persisted as ``_STATS.json``. Run
+    once at ingest/generation time; every later pipeline run reads the
+    sidecar for free."""
+    import json
+    import ray.data as rd
+    from ..core.spans import KIND_MEDIA
+
+    def _maxes(t: pa.Table) -> pa.Table:
+        spans_col = t["spans"]
+        m_all = pc.max(pc.list_value_length(spans_col)).as_py() if t.num_rows else 0
+        la = spans_col.combine_chunks() if isinstance(spans_col, pa.ChunkedArray) else spans_col
+        flat = la.flatten()
+        flags = pc.equal(flat.field("kind"), KIND_MEDIA)
+        f = flags.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.fill_null(la.value_lengths(), 0).to_numpy(zero_copy_only=False)
+        offsets = np.concatenate(([0], np.cumsum(lens)))
+        cum = np.concatenate(([0], np.cumsum(f)))
+        per_row = cum[offsets[1:]] - cum[offsets[:-1]]
+        m_media = int(per_row.max()) if len(per_row) else 0
+        # pdf media fan out to an unbounded page count at rasterize time,
+        # so a raw media count is not a sound post-rasterize bound
+        n_pdf = pc.sum(pc.cast(pc.and_(
+            flags, pc.starts_with(flat.field("media_ref"), "pdf://")),
+            pa.int64())).as_py() or 0
+        return pa.table({"m_all": pa.array([int(m_all or 0)], pa.int64()),
+                         "m_media": pa.array([m_media], pa.int64()),
+                         "n_pdf": pa.array([int(n_pdf)], pa.int64())})
+
+    ds = rd.read_parquet(corpus_files(input_dir), columns=["spans"])
+    # one partial row per input block → a tiny frame on the driver
+    parts = ds.map_batches(_maxes, batch_format="pyarrow").to_pandas()
+    stats = {
+        "max_spans_per_doc": int(parts["m_all"].max()),
+        "max_media_per_doc": int(parts["m_media"].max()),
+        "has_pdf_media": bool(parts["n_pdf"].sum() > 0),
+    }
+    with open(os.path.join(input_dir, STATS_FILE), "w") as fh:
+        json.dump(stats, fh)
+    return stats
+
+
 def add_part_id_batch(t: pa.Table, num_partitions: int) -> pa.Table:
     """Stable ``part_id = crc32(doc_id) % P`` (content-derived, so the
     same document lands in the same partition on every run/cluster)."""
@@ -43,23 +106,27 @@ def add_part_id_batch(t: pa.Table, num_partitions: int) -> pa.Table:
     return out.append_column("part_id", pa.array(pid))
 
 
-def build_extraction_ds(ds, cfg: EngineConfig):
+def build_extraction_ds(ds, cfg: EngineConfig,
+                        known_max_spans: Optional[int] = None):
     """Attach the extraction stages to an input Dataset (lazy).
 
     Skew guard (north rule: "skew-aware split of oversized multi-page
     PDFs"): oversized rows are span-split and reassembled before the
     geometry kernel (G2/G4 profiles are cross-page — the kernel must
-    see whole documents). ``probe=True``: an eager streaming pass over
-    span counts first — a corpus with NO oversized docs skips the guard
-    wholesale (no split columns, no second pass). When the tail exists,
-    ``selective=True``: never-split rows bypass the reassembly shuffle,
-    which moves only the oversized shards.
+    see whole documents). The oversized-tail decision comes from, in
+    order: ``known_max_spans`` (the ``corpus_stats`` manifest sidecar —
+    free), else a streaming probe pass over span counts. A corpus with
+    NO oversized docs skips the guard wholesale (no split columns, no
+    second pass). When the tail exists, ``selective=True``: never-split
+    rows bypass the reassembly shuffle, which moves only the oversized
+    shards.
     """
     if cfg.skew_guard:
         from ..stages.skew import with_skew_guard
         ds = with_skew_guard(ds, lambda d: d,
                              max_spans=cfg.oversize_token_threshold,
-                             selective=True, probe=True)
+                             selective=True, probe=True,
+                             known_max=known_max_spans)
     ds = ds.map_batches(
         functools.partial(add_part_id_batch, num_partitions=cfg.num_output_partitions),
         batch_format="pyarrow",
@@ -86,8 +153,11 @@ def run_extraction(input_dir: str, out_dir: str,
                    cfg: Optional[EngineConfig] = None):
     """Single-shot streaming run (bench path): read → extract → write."""
     cfg = cfg or EngineConfig()
+    stats = corpus_stats(input_dir)
     ds = read_corpus(corpus_files(input_dir), cfg.num_partitions)
-    out = build_extraction_ds(ds, cfg)
+    out = build_extraction_ds(
+        ds, cfg,
+        known_max_spans=None if stats is None else stats.get("max_spans_per_doc"))
     out.write_parquet(out_dir, partition_cols=["part_id"])
     return out_dir
 
@@ -105,6 +175,8 @@ def run_extraction_resumable(input_dir: str, out_dir: str,
     shard loop only bounds the blast radius of a failure.
     """
     cfg = cfg or EngineConfig()
+    stats = corpus_stats(input_dir)
+    known_max = None if stats is None else stats.get("max_spans_per_doc")
     files = corpus_files(input_dir)
     shards = lineage.shard_input_files(files, num_shards)
     done, ran = [], []
@@ -115,7 +187,7 @@ def run_extraction_resumable(input_dir: str, out_dir: str,
         lineage.reset_shard(out_dir, sid)
         with lineage.ShardTimer() as t:
             ds = read_corpus(shard_files, cfg.num_partitions)
-            out = build_extraction_ds(ds, cfg)
+            out = build_extraction_ds(ds, cfg, known_max_spans=known_max)
             sdir = lineage.shard_dir(out_dir, sid)
             out.write_parquet(sdir)
             import pyarrow.dataset as pads
@@ -160,6 +232,8 @@ def generate_corpus(out_dir: str, n_docs: int, seed: int = 42,
     if os.path.exists(marker):
         with open(marker) as fh:
             if fh.read().strip() == stamp:
+                if corpus_stats(out_dir) is None:   # backfill older caches
+                    write_corpus_stats(out_dir)
                 return out_dir
     import shutil
     if os.path.isdir(out_dir):
@@ -177,6 +251,9 @@ def generate_corpus(out_dir: str, n_docs: int, seed: int = 42,
     (rd.from_items([{"start": s} for s in starts])
        .map_batches(_gen, batch_format="pyarrow", batch_size=1)
        .write_parquet(out_dir))
+    # manifest stats at ingest time: one pass now, zero probe passes on
+    # every later pipeline run over this corpus
+    write_corpus_stats(out_dir)
     with open(marker, "w") as fh:
         fh.write(stamp)
     return out_dir

@@ -35,7 +35,21 @@ def _pool_sizes(cfg: EngineConfig) -> tuple:
     return ocr, model
 
 
-def build_transformers_ds(ds, cfg: Optional[EngineConfig] = None):
+def media_stat_bound(stats: Optional[dict]) -> Optional[int]:
+    """Sound post-rasterize media bound from a ``corpus_stats`` sidecar,
+    or None (→ probe). pdf media fan out to an unbounded page count, so
+    the raw media count only bounds pdf-free corpora."""
+    if not stats or stats.get("has_pdf_media"):
+        return None
+    return stats.get("max_media_per_doc")
+
+
+def build_transformers_ds(ds, cfg: Optional[EngineConfig] = None,
+                          known_max_media: Optional[int] = None):
+    """``known_max_media`` is the manifest stat (max media spans per
+    doc, ``corpus_stats``): when provided the skew guard decides
+    without its probe pass — which here would re-execute the rasterize
+    stage a second time."""
     cfg = cfg or EngineConfig(layout=LayoutConfig(layout="transformers"))
     lcfg = cfg.layout
     ocr_n, model_n = _pool_sizes(cfg)
@@ -63,7 +77,7 @@ def build_transformers_ds(ds, cfg: Optional[EngineConfig] = None):
         from ..stages.skew import with_skew_guard
         ds = with_skew_guard(ds, _ocr, max_spans=cfg.ocr_pages_per_shard,
                              count_kind=KIND_MEDIA, selective=False,
-                             probe=True)
+                             probe=True, known_max=known_max_media)
     else:
         ds = _ocr(ds)
     ds = ds.map_batches(

@@ -166,14 +166,13 @@ def _only_sharded(t: pa.Table) -> pa.Table:
     return t.filter(pc.greater(t["n_shards"], pa.scalar(1, pa.int32())))
 
 
-def has_oversized(ds, max_spans: int, count_kind: Optional[str] = None) -> bool:
-    """Cheap probe: does ANY row exceed the shard threshold?
-
-    One streaming pass over the ``spans`` column computing per-batch max
-    counts (zero-copy Arrow offset math, no Python span work) — far
-    cheaper than an unnecessary all-to-all reassembly shuffle when the
-    corpus has no oversized tail, and negligible next to the warranted
-    shuffle when it does."""
+def max_span_count(ds, count_kind: Optional[str] = None) -> int:
+    """One streaming pass over the ``spans`` column computing the max
+    per-row (counted) span count — zero-copy Arrow offset math, no
+    Python span work. This is the stat a manifest layer (Iceberg/Delta
+    file statistics) would carry for free; ``generate_corpus`` persists
+    it as a ``_STATS.json`` sidecar so steady-state runs never pay this
+    pass (see ``pipelines/extract.py::corpus_stats``)."""
     def _max_count(t: pa.Table) -> pa.Table:
         spans_col = t["spans"]
         if count_kind is None:
@@ -192,23 +191,38 @@ def has_oversized(ds, max_spans: int, count_kind: Optional[str] = None) -> bool:
 
     mx = ds.select_columns(["spans"]).map_batches(
         _max_count, batch_format="pyarrow").max("m")
-    return (mx or 0) > max_spans
+    return int(mx or 0)
+
+
+def has_oversized(ds, max_spans: int, count_kind: Optional[str] = None) -> bool:
+    """Probe: does ANY row exceed the shard threshold? Costs a full
+    streaming pass — prefer a manifest stat (``known_max``) when one
+    exists; the pass is still far cheaper than an unwarranted
+    all-to-all reassembly shuffle."""
+    return max_span_count(ds, count_kind) > max_spans
 
 
 def with_skew_guard(ds, inner_stages, max_spans: int = 50_000,
                     count_kind: Optional[str] = None,
-                    selective: bool = False, probe: bool = False):
+                    selective: bool = False, probe: bool = False,
+                    known_max: Optional[int] = None):
     """``split → inner_stages(ds) → reassemble``. ``inner_stages`` is a
     callable Dataset → Dataset limited to per-span transforms (parse,
     OCR). See the module docstring for the ``selective`` trade-off.
 
-    ``probe=True`` first runs :func:`has_oversized`; when nothing in
-    the corpus crosses the threshold the guard vanishes entirely —
-    ``inner_stages`` runs on the raw stream with no split columns, no
-    second pass and no shuffle."""
+    ``known_max`` is the manifest stat (max counted spans per row, e.g.
+    from ``corpus_stats``): when provided it decides instantly — no
+    probe pass at all. Otherwise ``probe=True`` runs
+    :func:`has_oversized` (one streaming pass). Either way, when
+    nothing in the corpus crosses the threshold the guard vanishes
+    entirely — ``inner_stages`` runs on the raw stream with no split
+    columns, no second pass and no shuffle."""
     import functools
 
-    if probe and not has_oversized(ds, max_spans, count_kind):
+    if known_max is not None:
+        if known_max <= max_spans:
+            return inner_stages(ds)
+    elif probe and not has_oversized(ds, max_spans, count_kind):
         return inner_stages(ds)
 
     ds = ds.map_batches(

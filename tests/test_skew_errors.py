@@ -237,3 +237,99 @@ def test_probe_skips_guard_when_no_oversized(ray_session, corpus_dir):
     # media-kind probe: corpus has <=2 media spans per doc
     assert not has_oversized(ds, 16, count_kind="media")
     assert has_oversized(ds, 0, count_kind="media")
+
+
+def test_corpus_stats_sidecar(ray_session, tmp_path):
+    """Manifest stats: one ingest-time pass persists the oversized-tail
+    decision; later runs never pay the probe."""
+    import os
+    import pyarrow.parquet as pq
+    from ocr_table_extractor_to_csv_ray.pipelines.extract import (
+        corpus_stats, write_corpus_stats)
+    from ocr_table_extractor_to_csv_ray.pipelines.transformers import media_stat_bound
+
+    path = str(tmp_path / "c")
+    os.makedirs(path)
+    mk = lambda n_words, media_refs: (
+        [{"kind": "word", "text": f"w{i}", "media_ref": "", "offset": i}
+         for i in range(n_words)]
+        + [{"kind": "media", "text": "", "media_ref": r,
+            "offset": n_words + j} for j, r in enumerate(media_refs)])
+    t = pa.table({
+        "doc_id": pa.array(["a", "b", "c"]),
+        "spans": pa.array([mk(10, []),
+                           mk(500, ["img://b/p1", "img://b/p2", "img://b/p3"]),
+                           mk(2, ["img://c/p1"])], pa.list_(SPAN_TYPE)),
+    })
+    pq.write_table(t, os.path.join(path, "p0.parquet"))
+    assert corpus_stats(path) is None
+    stats = write_corpus_stats(path)
+    assert stats == {"max_spans_per_doc": 503, "max_media_per_doc": 3,
+                     "has_pdf_media": False}
+    assert corpus_stats(path) == stats
+    assert media_stat_bound(stats) == 3
+    # pdf media make the post-rasterize media count unbounded -> no bound
+    t2 = t.set_column(1, "spans", pa.array(
+        [mk(1, ["pdf://x"]), mk(1, []), mk(1, [])], pa.list_(SPAN_TYPE)))
+    pq.write_table(t2, os.path.join(path, "p0.parquet"))
+    stats2 = write_corpus_stats(path)
+    assert stats2["has_pdf_media"] is True
+    assert media_stat_bound(stats2) is None
+    assert media_stat_bound(None) is None
+
+
+def test_known_max_decides_without_probe(ray_session, tmp_path):
+    """known_max (manifest stat) short-circuits both ways: <= threshold
+    collapses the guard; > threshold splits without a probe pass —
+    extraction stays invariant either way."""
+    import os
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from ocr_table_extractor_to_csv_ray.config import EngineConfig
+    from ocr_table_extractor_to_csv_ray.pipelines.extract import build_extraction_ds
+
+    base = corpus_table(30).select(["doc_id", "spans"])
+    path = str(tmp_path / "c")
+    os.makedirs(path)
+    pq.write_table(base, os.path.join(path, "p0.parquet"))
+    true_max = max(len(s) for s in base["spans"].to_pylist())
+
+    # guard collapses entirely: schema of the guarded stream == input
+    small = with_skew_guard(
+        rd.read_parquet(path), lambda d: d, max_spans=true_max,
+        probe=False, known_max=true_max)
+    assert set(small.schema().names) == {"doc_id", "spans"}
+
+    def run(known):
+        ds = rd.read_parquet(path, columns=["doc_id", "spans"])
+        out = build_extraction_ds(
+            ds, EngineConfig(oversize_token_threshold=max(10, true_max // 4)),
+            known_max_spans=known)
+        return {r["doc_id"]: (r["n_rows"], r["n_cols"], r["spans"])
+                for r in out.take_all()}
+
+    direct = run(None)          # falls back to the probe
+    assert run(true_max) == direct            # > threshold: split path
+    out2 = build_extraction_ds(
+        rd.read_parquet(path, columns=["doc_id", "spans"]),
+        EngineConfig(oversize_token_threshold=true_max),
+        known_max_spans=true_max)             # <= threshold: no guard
+    assert {r["doc_id"]: (r["n_rows"], r["n_cols"], r["spans"])
+            for r in out2.take_all()} == direct
+
+
+def test_generate_corpus_writes_stats(ray_session, tmp_path):
+    import json
+    import os
+    import pyarrow.parquet as pq
+    from ocr_table_extractor_to_csv_ray.pipelines.extract import (
+        corpus_stats, generate_corpus)
+
+    path = generate_corpus(str(tmp_path / "g"), 50, docs_per_block=20)
+    stats = corpus_stats(path)
+    assert stats is not None
+    spans = pq.read_table(os.path.join(path), columns=["spans"])["spans"]
+    import pyarrow.compute as pc
+    assert stats["max_spans_per_doc"] == pc.max(
+        pc.list_value_length(spans)).as_py()
+    assert stats["has_pdf_media"] is False

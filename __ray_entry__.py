@@ -740,6 +740,19 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf": _expected_sql("knn_ivf", "query_id, vec_id, rank"),
         "token_accuracy": _expected_sql(
             "token_accuracy", "token_accuracy, n_tokens"),
+        "eval_generic_vs_dynamic": _expected_sql(
+            "eval_generic_vs_dynamic",
+            "text_accuracy, matched_cells, total_cells"),
+        # dedup survivor sets: the expected tables are INDEPENDENT
+        # sequential reimplementations of the published algorithms
+        # (MinHash-LSH / SimHash / hyperplane LSH / HLL) — see
+        # tools/gen_oracle_expected.py — cross-checking the Ray
+        # orchestration end to end
+        "dedup_minhash": _expected_sql("dedup_minhash", "doc_id"),
+        "dedup_ngram": _expected_sql("dedup_ngram", "doc_id"),
+        "dedup_simhash": _expected_sql("dedup_simhash", "doc_id"),
+        "dedup_embedding": _expected_sql("dedup_embedding", "vec_id"),
+        "vocab_hll": _expected_sql("vocab_hll", "vocab_estimate"),
         "doc_token_stats": r"""
             SELECT doc_id,
                    length(text) AS n_chars,

@@ -184,6 +184,274 @@ KNOBS = dict(expected_n_cols=4, table_bbox=(0, 0, 2000, 2400),
 
 
 # ---------------------------------------------------------------------------
+# independent sequential reimplementations of the corpus dedup / sketch
+# operators (spec: functions/dedup.py + functions/sketch.py module
+# docstrings — MinHash-LSH, SimHash banding, hyperplane LSH, HLL; all
+# public textbook algorithms). Nothing here imports the engine's
+# dedup/textstats/sketch code: the driver oracle cross-checks the
+# distributed Ray orchestration against these single-threaded
+# re-derivations of the same published algorithms.
+
+_M61 = (1 << 61) - 1
+_GOLD64 = np.uint64(0x9E3779B97F4A7C15)
+_STAR = 64      # buckets with >= _STAR members pair as a star to min id
+
+
+def _tok64(tok: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "little")
+
+
+def _shingle_set(text: str, k: int = 3) -> np.ndarray:
+    toks = (text or "").lower().split()
+    th = np.array([_tok64(t) for t in toks], dtype=np.uint64)
+    if len(th) == 0:
+        return np.empty(0, np.uint64)
+    with np.errstate(over="ignore"):
+        if len(th) < k:
+            sh = np.zeros(1, np.uint64)
+            for j in range(len(th)):
+                sh = sh * _GOLD64 + th[j]
+            return np.unique(sh)
+        sh = np.zeros(len(th) - k + 1, np.uint64)
+        for j in range(k):
+            sh = sh * _GOLD64 + th[j: len(th) - k + 1 + j]
+    return np.unique(sh)
+
+
+def _minhash_sigs(sh_sets, n_perm: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _M61, size=n_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _M61, size=n_perm, dtype=np.int64).astype(np.uint64)
+    sigs = np.empty((len(sh_sets), n_perm), np.uint64)
+    for i, sh in enumerate(sh_sets):
+        if len(sh) == 0:
+            sigs[i] = np.uint64(_M61)
+            continue
+        s = (sh & np.uint64(_M61))[:, None]
+        with np.errstate(over="ignore"):
+            lo = s * a[None, :]
+            x = (lo & np.uint64(_M61)) + (lo >> np.uint64(61)) + b[None, :]
+            x = (x & np.uint64(_M61)) + (x >> np.uint64(61))
+        x = np.where(x >= _M61, x - _M61, x)
+        sigs[i] = x.min(axis=0)
+    return sigs
+
+
+def _lsh_buckets(sigs: np.ndarray, n_bands: int, keep: np.ndarray) -> dict:
+    """{(band, band_key): [row indices]} over rows where keep is True."""
+    n_perm = sigs.shape[1]
+    r = n_perm // n_bands
+    buckets: dict = {}
+    with np.errstate(over="ignore"):
+        for bnd in range(n_bands):
+            blk = sigs[:, bnd * r:(bnd + 1) * r]
+            key = np.zeros(len(sigs), np.uint64)
+            for j in range(r):
+                key = key * _GOLD64 + blk[:, j]
+            for i in np.nonzero(keep)[0]:
+                buckets.setdefault((bnd, int(key[i])), []).append(int(i))
+    return buckets
+
+
+def _bucket_pair_indices(m: int):
+    if m < 2:
+        return []
+    if m <= _STAR:
+        return [(i, j) for i in range(m) for j in range(i + 1, m)]
+    return [(0, j) for j in range(1, m)]
+
+
+def _min_cluster_survivors(all_ids, pairs):
+    """Union-find (min id = cluster id) → survivor id list."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            parent[hi] = lo
+    drop = {x for x in parent if find(x) != x}
+    return [i for i in all_ids if i not in drop]
+
+
+def _load_docs(sf_dir: str):
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    return t["doc_id"].to_pylist(), t["text"].to_pylist()
+
+
+def expected_dedup_text(sf_dir: str) -> dict:
+    """dedup_minhash + dedup_ngram + dedup_simhash survivor sets
+    (shingles/signatures computed once, shared — same k/seed/n_perm)."""
+    ids, texts = _load_docs(sf_dir)
+    sh_sets = [_shingle_set(tx, 3) for tx in texts]
+    sigs = _minhash_sigs(sh_sets, n_perm=128, seed=7)
+    keep = np.array([len(s) > 0 for s in sh_sets])
+
+    def _sorted_members(members):
+        return sorted(members, key=lambda i: ids[i])
+
+    # --- minhash: n_bands=16, estimated-Jaccard >= 0.8 verify
+    pairs = set()
+    for members in _lsh_buckets(sigs, 16, keep).values():
+        mem = _sorted_members(members)
+        for ii, jj in _bucket_pair_indices(len(mem)):
+            a_i, b_i = mem[ii], mem[jj]
+            if (sigs[a_i] == sigs[b_i]).mean() >= 0.8:
+                pairs.add((ids[a_i], ids[b_i]))
+    minhash_df = pd.DataFrame(
+        {"doc_id": _min_cluster_survivors(ids, pairs)})
+
+    # --- ngram: n_bands=32 candidates, EXACT Jaccard >= 0.7 verify
+    pairs = set()
+    for members in _lsh_buckets(sigs, 32, keep).values():
+        mem = _sorted_members(members)
+        for ii, jj in _bucket_pair_indices(len(mem)):
+            a_i, b_i = mem[ii], mem[jj]
+            sa, sb = sh_sets[a_i], sh_sets[b_i]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac = (inter / union) if union else (
+                1.0 if len(sa) == 0 and len(sb) == 0 else 0.0)
+            if jac >= 0.7:
+                pairs.add((ids[a_i], ids[b_i]))
+    ngram_df = pd.DataFrame({"doc_id": _min_cluster_survivors(ids, pairs)})
+
+    # --- simhash: 64-bit count-weighted unigram fingerprint,
+    #     4×16-bit bands, Hamming <= 3 verify (all docs banded)
+    fps = []
+    for tx in texts:
+        toks = (tx or "").lower().split()
+        if not toks:
+            fps.append(0)
+            continue
+        th = np.array([_tok64(t) for t in toks], np.uint64)
+        bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        fps.append(int(((v > 0).astype(np.uint64)
+                        << np.arange(64, dtype=np.uint64)).sum()))
+    buckets: dict = {}
+    for i, fp in enumerate(fps):
+        for bnd in range(4):
+            buckets.setdefault((bnd, (fp >> (16 * bnd)) & 0xFFFF), []).append(i)
+    pairs = set()
+    for members in buckets.values():
+        mem = _sorted_members(members)
+        for ii, jj in _bucket_pair_indices(len(mem)):
+            a_i, b_i = mem[ii], mem[jj]
+            if bin(fps[a_i] ^ fps[b_i]).count("1") <= 3:
+                pairs.add((ids[a_i], ids[b_i]))
+    simhash_df = pd.DataFrame({"doc_id": _min_cluster_survivors(ids, pairs)})
+
+    for df in (minhash_df, ngram_df, simhash_df):
+        df["doc_id"] = df["doc_id"].astype("int64")
+    return {"dedup_minhash": minhash_df, "dedup_ngram": ngram_df,
+            "dedup_simhash": simhash_df}
+
+
+def expected_dedup_embedding(sf_dir: str, threshold: float = 0.97,
+                             n_planes: int = 14, seed: int = 11) -> pd.DataFrame:
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    col = t["embedding"].combine_chunks()
+    n = len(col)
+    flat = np.asarray(col.flatten().to_numpy(zero_copy_only=False),
+                      dtype=np.float32)
+    mat = flat.reshape(n, -1)
+    unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    planes = np.random.default_rng(seed).standard_normal(
+        (mat.shape[1], n_planes)).astype(np.float32)
+    bits = (unit @ planes) > 0
+    key = (bits.astype(np.uint64)
+           << np.arange(n_planes, dtype=np.uint64)[None, :]).sum(axis=1)
+    buckets: dict = {}
+    for i, kv in enumerate(key):
+        buckets.setdefault(int(kv), []).append(i)
+    pairs = set()
+    for members in buckets.values():
+        mem = sorted(members, key=lambda i: ids[i])
+        for ii, jj in _bucket_pair_indices(len(mem)):
+            a_i, b_i = mem[ii], mem[jj]
+            if float(np.dot(unit[a_i], unit[b_i])) >= threshold:
+                pairs.add((ids[a_i], ids[b_i]))
+    df = pd.DataFrame({"vec_id": _min_cluster_survivors(ids, pairs)})
+    df["vec_id"] = df["vec_id"].astype("int64")
+    return df
+
+
+def expected_vocab_hll(sf_dir: str, p: int = 12) -> pd.DataFrame:
+    """HLL (Flajolet et al., standard bias/linear-counting corrections)
+    over the corpus token set. Register-wise max makes the per-batch
+    merge order irrelevant, so one sequential pass is the exact
+    expected value of the engine's mergeable-sketch pipeline."""
+    import re as _re
+    _, texts = _load_docs(sf_dir)
+    tokens = set()
+    for tx in texts:
+        tokens.update(_re.split(r"\s+", (tx or "").strip()))
+    m = 1 << p
+    regs = np.zeros(m, np.uint8)
+    for tok in tokens:
+        h = _tok64(tok)
+        idx = h >> (64 - p)
+        rest = ((h << p) | ((1 << p) - 1)) & ((1 << 64) - 1)
+        lz = 0
+        while lz <= 64 - p and not (rest >> (63 - lz)) & 1:
+            lz += 1
+        regs[idx] = max(regs[idx], lz + 1)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(2.0 ** -regs.astype(np.float64))
+    if est <= 2.5 * m:
+        zeros = int((regs == 0).sum())
+        if zeros:
+            est = m * np.log(m / zeros)
+    return pd.DataFrame({"vocab_estimate": pd.array([round(float(est))],
+                                                    dtype="int64")})
+
+
+def expected_eval_generic_vs_dynamic(corpus) -> pd.DataFrame:
+    """AG6 corpus metric over the reference's executed extractions:
+    generic vs dynamic grids, body-only (header row dropped), padded to
+    a common shape with '', cells stripped and exact-compared
+    (evaluation.py:86-100 semantics)."""
+    matched = total = 0
+    for spans in corpus["spans"].to_pylist():
+        def body(layout):
+            h, rows, _ = ref_extract(spans, layout)
+            g = ([list(h)] if h else []) + [list(r) for r in rows]
+            return g[1:] if g else g
+        A, B = body("generic"), body("dynamic")
+        n_rows = max(len(A), len(B))
+        n_cols = max((max((len(r) for r in g), default=0)
+                      for g in (A, B)), default=0)
+        def mat(g):
+            out = np.full((n_rows, n_cols), "", dtype=object)
+            for i, r in enumerate(g):
+                for j, c in enumerate(r):
+                    out[i, j] = (c or "").strip()
+            return out
+        Am, Bm = mat(A), mat(B)
+        total += int(Am.size)
+        matched += int((Am == Bm).sum())
+    return pd.DataFrame({
+        "text_accuracy": pd.array([matched / total if total else 0.0],
+                                  dtype="float64"),
+        "matched_cells": pd.array([matched], dtype="int64"),
+        "total_cells": pd.array([total], dtype="int64"),
+    })
+
+
+# ---------------------------------------------------------------------------
 # dataset builder / transformers chain (reference-executed)
 
 def expected_dataset_builder(corpus) -> pd.DataFrame:
@@ -392,6 +660,7 @@ def main() -> None:
 
         for name, fn in (("dataset_builder", expected_dataset_builder),
                          ("token_accuracy", expected_token_accuracy),
+                         ("eval_generic_vs_dynamic", expected_eval_generic_vs_dynamic),
                          ("extract_transformers", expected_transformers),
                          ("ocr_expand", expected_ocr_expand),
                          ("multimodal_features", expected_multimodal)):
@@ -403,8 +672,15 @@ def main() -> None:
         for name, fn in (("extract_text_render", expected_text_render),
                          ("split_hash", expected_split_hash),
                          ("fingerprint_rolling", expected_rolling_fp),
-                         ("knn_ivf", expected_knn_ivf)):
+                         ("knn_ivf", expected_knn_ivf),
+                         ("dedup_embedding", expected_dedup_embedding),
+                         ("vocab_hll", expected_vocab_hll)):
             df = fn(sf_dir)
+            df.insert(0, "sig", sig)
+            per_query.setdefault(name, []).append(df)
+            print(f"  {name}: {len(df)} rows", flush=True)
+
+        for name, df in expected_dedup_text(sf_dir).items():
             df.insert(0, "sig", sig)
             per_query.setdefault(name, []).append(df)
             print(f"  {name}: {len(df)} rows", flush=True)

@@ -419,6 +419,22 @@ def expected_vocab_hll(sf_dir: str, p: int = 12) -> pd.DataFrame:
                                                     dtype="int64")})
 
 
+def expected_resumable(corpus) -> pd.DataFrame:
+    """extract_resumable totals: doc_count = corpus size; row_count =
+    Σ output spans per doc under the dynamic layout, where a grid
+    serializes as header cells + row_end, then per body row cells +
+    row_end (core/spans.py::grid_to_spans contract, reference
+    ``exporters.py:7-12`` reading order)."""
+    row_count = 0
+    for spans in corpus["spans"].to_pylist():
+        h, rows, _ = ref_extract(spans, "dynamic")
+        row_count += (len(h) + 1 if h else 0) + sum(len(r) + 1 for r in rows)
+    return pd.DataFrame({
+        "doc_count": pd.array([corpus.num_rows], dtype="int64"),
+        "row_count": pd.array([row_count], dtype="int64"),
+    })
+
+
 def expected_eval_generic_vs_dynamic(corpus) -> pd.DataFrame:
     """AG6 corpus metric over the reference's executed extractions:
     generic vs dynamic grids, body-only (header row dropped), padded to
@@ -661,6 +677,7 @@ def main() -> None:
         for name, fn in (("dataset_builder", expected_dataset_builder),
                          ("token_accuracy", expected_token_accuracy),
                          ("eval_generic_vs_dynamic", expected_eval_generic_vs_dynamic),
+                         ("extract_resumable", expected_resumable),
                          ("extract_transformers", expected_transformers),
                          ("ocr_expand", expected_ocr_expand),
                          ("multimodal_features", expected_multimodal)):

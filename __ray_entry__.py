@@ -152,12 +152,14 @@ def _dataset_builder(sf_dir: str):
     return out.select_columns(["doc_id", "n_rows", "n_cols", "error"])
 
 
-# fixed label vocabulary for the token-accuracy eval (OTHER=0, then
-# HEADER_COL_0..5, BODY_COL_0..5 — mirrors the teacher label space)
-_LABEL2ID = {"OTHER": 0}
-for _p in ("HEADER", "BODY"):
-    for _i in range(6):
-        _LABEL2ID[f"{_p}_COL_{_i}"] = len(_LABEL2ID)
+def _train_classifier(sf_dir: str):
+    """A5 (train_layoutlm.py:212-321) as a Ray-Data-native trainer:
+    deterministic data-parallel GD with fixed-point gradient
+    accumulation (bit-exact under any parallelism — see
+    functions/train.py)."""
+    from ocr_table_extractor_to_csv_ray.functions.train import train_token_classifier
+    from ocr_table_extractor_to_csv_ray.pipelines.databuild import build_dataset
+    return train_token_classifier(build_dataset(_corpus(sf_dir)))
 
 
 def _token_accuracy(sf_dir: str):
@@ -167,6 +169,7 @@ def _token_accuracy(sf_dir: str):
     (every 7th unmasked token flipped to OTHER) → partial (correct,
     total) per batch → one global sum."""
     from ocr_table_extractor_to_csv_ray.functions.metrics import token_accuracy
+    from ocr_table_extractor_to_csv_ray.functions.train import LABEL2ID as _LABEL2ID
     from ocr_table_extractor_to_csv_ray.pipelines.databuild import build_dataset
 
     ds = build_dataset(_corpus(sf_dir))
@@ -589,6 +592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text_render": _extract_text_render,
         "dataset_builder": _dataset_builder,
         "token_accuracy": _token_accuracy,
+        "train_classifier": _train_classifier,
         "eval_generic_vs_dynamic": _eval_generic_vs_dynamic,
         "ocr_expand": _ocr_expand,
         "hocr_parse_extract": _hocr_parse_extract,
@@ -761,6 +765,9 @@ def oracle_sql() -> dict[str, str]:
         "vocab_hll": _expected_sql("vocab_hll", "vocab_estimate"),
         "extract_resumable": _expected_sql(
             "extract_resumable", "doc_count, row_count"),
+        "train_classifier": _expected_sql(
+            "train_classifier",
+            "n_examples, n_tokens, initial_loss, final_loss, token_accuracy"),
         "doc_token_stats": r"""
             SELECT doc_id,
                    length(text) AS n_chars,

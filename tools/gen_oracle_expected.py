@@ -419,6 +419,86 @@ def expected_vocab_hll(sf_dir: str, p: int = 12) -> pd.DataFrame:
                                                     dtype="int64")})
 
 
+def expected_train(corpus, n_epochs: int = 4, lr: float = 2.0,
+                   n_buckets: int = 32) -> pd.DataFrame:
+    """A5 trainer oracle: sequential full-batch GD over the reference's
+    executed teacher examples, replaying the engine's spec — linear
+    softmax on [bias, bbox/1000, w, h, hashed-token one-hot] features,
+    per-document int64 fixed-point gradient quantization (scale 2^20).
+    Integer gradient sums are order-independent, so this single-threaded
+    loop must equal the distributed run bit for bit."""
+    from tests.refimpl import ref_build_example
+    label2id = {"OTHER": 0}
+    for p in ("HEADER", "BODY"):
+        for i in range(6):
+            label2id[f"{p}_COL_{i}"] = len(label2id)
+    C = len(label2id)
+    scale = float(1 << 20)
+    n_geom = 7
+    d = n_geom + n_buckets
+
+    docs = []
+    for spans in corpus["spans"].to_pylist():
+        ex = ref_build_example(spans)
+        if ex is None:
+            continue
+        n = len(ex["words"])
+        X = np.zeros((n, d), np.float64)
+        X[:, 0] = 1.0
+        bb = np.asarray(ex["bboxes"], np.float64).reshape(n, 4) / 1000.0
+        X[:, 1:5] = bb
+        X[:, 5] = bb[:, 2] - bb[:, 0]
+        X[:, 6] = bb[:, 3] - bb[:, 1]
+        for i, w in enumerate(ex["words"]):
+            h = int.from_bytes(hashlib.blake2b(
+                (w or "").lower().encode("utf-8"), digest_size=8).digest(),
+                "little")
+            X[i, n_geom + h % n_buckets] = 1.0
+        y = np.array([label2id.get(l, 0) for l in ex["labels"]], np.int64)
+        docs.append((X, y))
+
+    def softmax(z):
+        z = z - z.max(axis=1, keepdims=True)
+        e = np.exp(z)
+        return e / e.sum(axis=1, keepdims=True)
+
+    W = np.zeros((C, d), np.float64)
+    initial_loss = None
+    n_tok_total = sum(len(y) for _, y in docs)
+    for _ in range(n_epochs):
+        gsum = np.zeros(W.size, np.int64)
+        loss_q = 0
+        for X, y in docs:
+            P = softmax(X @ W.T)
+            loss = -np.log(np.maximum(P[np.arange(len(y)), y], 1e-300)).sum()
+            P[np.arange(len(y)), y] -= 1.0
+            gsum += np.round((P.T @ X).reshape(-1) * scale).astype(np.int64)
+            loss_q += int(round(loss * scale))
+        if n_tok_total == 0:
+            break
+        if initial_loss is None:
+            initial_loss = loss_q / scale / n_tok_total
+        W = W - lr * (gsum.astype(np.float64) / scale / n_tok_total).reshape(W.shape)
+    correct = 0
+    loss_q = 0
+    for X, y in docs:
+        P = softmax(X @ W.T)
+        loss_q += int(round(
+            -np.log(np.maximum(P[np.arange(len(y)), y], 1e-300)).sum() * scale))
+        correct += int((P.argmax(axis=1) == y).sum())
+    return pd.DataFrame({
+        "n_examples": pd.array([len(docs)], dtype="int64"),
+        "n_tokens": pd.array([n_tok_total], dtype="int64"),
+        "initial_loss": pd.array([initial_loss if initial_loss is not None
+                                  else 0.0], dtype="float64"),
+        "final_loss": pd.array(
+            [loss_q / scale / n_tok_total if n_tok_total else 0.0],
+            dtype="float64"),
+        "token_accuracy": pd.array(
+            [correct / n_tok_total if n_tok_total else 0.0], dtype="float64"),
+    })
+
+
 def expected_resumable(corpus) -> pd.DataFrame:
     """extract_resumable totals: doc_count = corpus size; row_count =
     Σ output spans per doc under the dynamic layout, where a grid
@@ -678,6 +758,7 @@ def main() -> None:
                          ("token_accuracy", expected_token_accuracy),
                          ("eval_generic_vs_dynamic", expected_eval_generic_vs_dynamic),
                          ("extract_resumable", expected_resumable),
+                         ("train_classifier", expected_train),
                          ("extract_transformers", expected_transformers),
                          ("ocr_expand", expected_ocr_expand),
                          ("multimodal_features", expected_multimodal)):

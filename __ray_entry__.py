@@ -481,6 +481,48 @@ def _knn_ivf(sf_dir: str):
 # ---------------------------------------------------------------------------
 # events (streaming-shaped aggregate with partial combine)
 
+def _events_asof(sf_dir: str):
+    """As-of join: every purchase event gets the latest signup ts
+    at-or-before it for the same user (point-in-time attribution)."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from ocr_table_extractor_to_csv_ray.functions.window import asof_join
+
+    def typed(event_type):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], event_type)) \
+                    .select(["event_id", "user_id", "ts"])
+        return f
+
+    ev = lambda: rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                 columns=["event_id", "user_id", "ts",
+                                          "event_type"])
+    left = ev().map_batches(typed("purchase"), batch_format="pyarrow")
+    right = ev().map_batches(typed("signup"), batch_format="pyarrow")
+    return asof_join(left, right).select_columns(
+        ["event_id", "user_id", "asof_ts"])
+
+
+def _events_window(sf_dir: str):
+    """Sliding-window aggregate: per event, count + integer-cents value
+    sum of the user's events in the trailing 600 s (RANGE frame)."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from ocr_table_extractor_to_csv_ray.functions.window import sliding_window_agg
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(t["value"], pa.scalar(100.0))),
+                        pa.int64())
+        return t.drop_columns(["value"]).append_column("cents", cents)
+
+    out = sliding_window_agg(ev.map_batches(to_cents, batch_format="pyarrow"),
+                             window_seconds=600.0, value_cents="cents")
+    return out.select_columns(["event_id", "n_window", "sum_window_cents"])
+
+
 def _events_hourly(sf_dir: str):
     import ray.data as rd
     import pyarrow.compute as pc
@@ -629,6 +671,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_doc_labels": _join_doc_labels,
         "join_orders_lineitem": _join_orders_lineitem,
         "events_sessions": _events_sessions,
+        "events_asof": _events_asof,
+        "events_window": _events_window,
         "events_type_value": _events_type_value,
         # events
         "events_hourly": _events_hourly,
@@ -825,6 +869,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
                    count(*) AS n_events
             FROM events GROUP BY user_id, hour_id
+        """,
+        "events_asof": """
+            SELECT l.event_id, l.user_id,
+                   (SELECT max(r.ts) FROM events r
+                     WHERE r.user_id = l.user_id
+                       AND r.event_type = 'signup'
+                       AND r.ts <= l.ts) AS asof_ts
+            FROM events l WHERE l.event_type = 'purchase'
+        """,
+        "events_window": """
+            SELECT event_id,
+                   count(*) OVER w AS n_window,
+                   sum(CAST(floor(value * 100) AS BIGINT)) OVER w
+                       AS sum_window_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 600 SECONDS PRECEDING
+                         AND CURRENT ROW)
         """,
         "join_doc_labels": """
             SELECT d.doc_id, CAST(e.label AS BIGINT) AS label

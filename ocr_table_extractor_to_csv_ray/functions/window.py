@@ -1,0 +1,115 @@
+"""Time-ordered per-key operators the Dataset API lacks: as-of join and
+sliding-window aggregates (beyond-reference; standard large-pipeline
+primitives — see SURVEY.md §2.13).
+
+Both are expressed as ``groupby(key).map_groups`` with a fully
+vectorized (``np.searchsorted``) kernel per group — the documented
+partitioning assumption is that ONE KEY's rows fit one task (same
+contract as ``join.py::sessionize``). For a key whose history outgrows
+a task, the 100 TB path is range-partitioning the timeline per key with
+one window of overlap, which preserves both semantics below because
+each output row depends only on input rows within the window/horizon
+behind it.
+
+Timestamps must be a timestamp dtype (epoch-µs under Arrow); plain ints
+are rejected rather than guessed (same rule as ``sessionize``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _ts_us(col: pa.ChunkedArray | pa.Array, what: str) -> pa.Array:
+    t = col.type
+    if not pa.types.is_timestamp(t):
+        raise TypeError(
+            f"{what} must be a timestamp column, got {t}; cast explicitly "
+            "(epoch-second/ms ints would silently mis-scale the window)")
+    return pc.cast(col, pa.timestamp("us"))
+
+
+def asof_join(left_ds, right_ds, key: str = "user_id", ts: str = "ts",
+              out_ts: str = "asof_ts"):
+    """For every left row, the greatest right ``ts`` at-or-before the
+    left ``ts`` within the same key (NULL when no prior right row) —
+    the classic point-in-time / as-of join.
+
+    Implementation: tag both sides, union (no co-materialization), one
+    ``groupby(key)`` shuffle, then a per-group sorted merge via
+    ``searchsorted`` — O(n log n) per key, vectorized.
+    Returns ``(left columns…, asof_ts)``. Both sides must share a
+    schema (``select_columns``/rename before joining) — the union
+    requires it.
+    """
+    def _tag(side: str):
+        def f(t: pa.Table) -> pa.Table:
+            _ts_us(t[ts], f"{side}.{ts}")
+            return t.append_column("__side", pa.array([side] * t.num_rows))
+        return f
+
+    tagged = (left_ds.map_batches(_tag("l"), batch_format="pyarrow")
+              .union(right_ds.map_batches(_tag("r"), batch_format="pyarrow")))
+
+    def merge(g: pa.Table) -> pa.Table:
+        side = np.asarray(g["__side"].to_numpy(zero_copy_only=False))
+        tsv = pc.cast(g[ts], pa.timestamp("us")).combine_chunks()
+        tsv = tsv.to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        l_mask = side == "l"
+        lt = g.filter(pa.array(l_mask)).drop_columns(["__side"])
+        if lt.num_rows == 0:
+            return lt.append_column(out_ts, pa.array([], pa.timestamp("us")))
+        r_ts = np.sort(tsv[~l_mask], kind="mergesort")
+        l_ts = tsv[l_mask]
+        idx = np.searchsorted(r_ts, l_ts, side="right") - 1
+        matched = np.where(idx >= 0, r_ts[np.maximum(idx, 0)], 0)
+        vals = pa.array(matched.astype("datetime64[us]"),
+                        pa.timestamp("us"),
+                        mask=(idx < 0))
+        return lt.append_column(out_ts, vals)
+
+    return tagged.groupby(key).map_groups(merge, batch_format="pyarrow")
+
+
+def sliding_window_agg(ds, key: str = "user_id", ts: str = "ts",
+                       window_seconds: float = 600.0,
+                       value_cents: Optional[str] = None):
+    """Per row: aggregates over the key's rows with ``ts`` in
+    ``[row.ts − window, row.ts]`` (value-RANGE frame, peers included —
+    ANSI ``RANGE BETWEEN … PRECEDING AND CURRENT ROW`` semantics).
+
+    Emits ``n_window`` (count) and, when ``value_cents`` names an int64
+    column, ``sum_window_cents`` — integer sums so the result is
+    order-independent and engine-portable (the float-sum trap).
+    """
+    w_us = int(round(window_seconds * 1_000_000))
+
+    def per_key(g: pa.Table) -> pa.Table:
+        tsv = pc.cast(g[ts], pa.timestamp("us")).combine_chunks()
+        tsv = tsv.to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        order = np.argsort(tsv, kind="mergesort")
+        st = tsv[order]
+        lo = np.searchsorted(st, st - w_us, side="left")
+        hi = np.searchsorted(st, st, side="right")
+        n_win = (hi - lo).astype(np.int64)
+        out = g.take(pa.array(order.astype(np.int64)))
+        cols = {c: out[c] for c in out.column_names}
+        cols["n_window"] = pa.array(n_win)
+        if value_cents is not None:
+            cents = np.asarray(out[value_cents].to_numpy(zero_copy_only=False),
+                               dtype=np.int64)
+            csum = np.concatenate(([0], np.cumsum(cents)))
+            cols["sum_window_cents"] = pa.array(csum[hi] - csum[lo])
+        return pa.table(cols)
+
+    def _check(t: pa.Table) -> pa.Table:
+        _ts_us(t[ts], ts)
+        return t
+
+    return ds.map_batches(_check, batch_format="pyarrow") \
+             .groupby(key).map_groups(per_key, batch_format="pyarrow")

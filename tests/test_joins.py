@@ -147,3 +147,54 @@ def test_sessionize_ts_unit(ray_session):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sessionize(rd.from_arrow(t), ts_unit="ns")
+
+
+def test_asof_join_semantics(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.window import asof_join
+
+    us = lambda s: np.datetime64("2024-01-01T00:00:00", "us") + np.timedelta64(s, "s")
+    mk = lambda rows: rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([us(r[2]) for r in rows], pa.timestamp("us")),
+    }))
+    left = mk([(1, 7, 100), (2, 7, 50), (3, 8, 10), (4, 9, 5)])
+    right = mk([(10, 7, 100), (11, 7, 60), (12, 8, 20), (13, 9, 5)])
+    out = {r["event_id"]: r["asof_ts"] for r in asof_join(left, right).take_all()}
+    assert out[1] == us(100)          # equal ts matches (at-or-before)
+    assert out[2] is None             # right rows all later -> NULL
+    assert out[3] is None
+    assert out[4] == us(5)
+    # int ts must be rejected, not guessed
+    bad = rd.from_items([{"event_id": 1, "user_id": 1, "ts": 1000}])
+    import pytest
+    with pytest.raises(Exception):
+        asof_join(bad, bad).take_all()
+
+
+def test_sliding_window_agg_range_frame(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.window import sliding_window_agg
+
+    us = lambda s: np.datetime64("2024-01-01T00:00:00", "us") + np.timedelta64(s, "s")
+    # user 1: ts 0, 600, 601, 601 (tie peers), 1300; cents 1,10,100,1000,10000
+    t = pa.table({
+        "event_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 1], pa.int64()),
+        "ts": pa.array([us(0), us(600), us(601), us(601), us(1300)],
+                       pa.timestamp("us")),
+        "cents": pa.array([1, 10, 100, 1000, 10000], pa.int64()),
+    })
+    out = {r["event_id"]: (r["n_window"], r["sum_window_cents"])
+           for r in sliding_window_agg(rd.from_arrow(t), window_seconds=600,
+                                       value_cents="cents").take_all()}
+    assert out[0] == (1, 1)
+    assert out[1] == (2, 11)          # boundary ts-600 included
+    assert out[2] == (3, 1110)        # [1,601]: RANGE frame includes the ts peer
+    assert out[3] == (3, 1110)
+    assert out[4] == (1, 10000)       # [700,1300]: 601s are outside

@@ -523,6 +523,18 @@ def _events_window(sf_dir: str):
     return out.select_columns(["event_id", "n_window", "sum_window_cents"])
 
 
+def _lineitem_quantiles(sf_dir: str):
+    """Exact grouped p50/p95 of extended price (integer cents) via the
+    distinct-value histogram — scale-safe for low-cardinality groups."""
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.quantiles import (
+        grouped_discrete_quantiles)
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_returnflag", "l_extendedprice"])
+    return grouped_discrete_quantiles(li, "l_returnflag", "l_extendedprice",
+                                      qs=(0.5, 0.95))
+
+
 def _events_hourly(sf_dir: str):
     import ray.data as rd
     import pyarrow.compute as pc
@@ -673,6 +685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _events_sessions,
         "events_asof": _events_asof,
         "events_window": _events_window,
+        "lineitem_quantiles": _lineitem_quantiles,
         "events_type_value": _events_type_value,
         # events
         "events_hourly": _events_hourly,
@@ -877,6 +890,26 @@ def oracle_sql() -> dict[str, str]:
                        AND r.event_type = 'signup'
                        AND r.ts <= l.ts) AS asof_ts
             FROM events l WHERE l.event_type = 'purchase'
+        """,
+        "lineitem_quantiles": """
+            WITH vc AS (
+                SELECT l_returnflag,
+                       CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+                       count(*) AS c
+                FROM lineitem GROUP BY 1, 2
+            ), cum AS (
+                SELECT l_returnflag, cents,
+                       sum(c) OVER (PARTITION BY l_returnflag
+                                    ORDER BY cents) AS cum,
+                       sum(c) OVER (PARTITION BY l_returnflag) AS n
+                FROM vc
+            )
+            SELECT l_returnflag,
+                   min(CASE WHEN cum >= ceil(0.5 * n) THEN cents END)
+                       AS p50_cents,
+                   min(CASE WHEN cum >= ceil(0.95 * n) THEN cents END)
+                       AS p95_cents
+            FROM cum GROUP BY 1
         """,
         "events_window": """
             SELECT event_id,

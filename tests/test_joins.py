@@ -198,3 +198,26 @@ def test_sliding_window_agg_range_frame(ray_session):
     assert out[2] == (3, 1110)        # [1,601]: RANGE frame includes the ts peer
     assert out[3] == (3, 1110)
     assert out[4] == (1, 10000)       # [700,1300]: 601s are outside
+
+
+def test_grouped_discrete_quantiles_vs_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.quantiles import (
+        grouped_discrete_quantiles)
+
+    rng = np.random.default_rng(3)
+    flags = rng.choice(["A", "B"], 5000)
+    vals = np.round(rng.exponential(50.0, 5000), 2)
+    t = pa.table({"flag": pa.array(flags), "price": pa.array(vals)})
+    out = {r["flag"]: (r["p50_cents"], r["p95_cents"])
+           for r in grouped_discrete_quantiles(
+               rd.from_arrow(t).repartition(7), "flag", "price",
+               qs=(0.5, 0.95)).take_all()}
+    for f in ("A", "B"):
+        cents = np.sort(np.floor(vals[flags == f] * 100).astype(np.int64))
+        n = len(cents)
+        # type-1: smallest value whose cumulative count >= ceil(q*n)
+        want = tuple(int(cents[int(np.ceil(q * n)) - 1]) for q in (0.5, 0.95))
+        assert out[f] == want, f

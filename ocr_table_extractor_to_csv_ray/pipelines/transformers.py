@@ -39,12 +39,18 @@ def _pool_sizes(cfg: EngineConfig) -> tuple:
     return ocr, model
 
 
+UNBOUNDED_MEDIA = 1 << 62
+
+
 def media_stat_bound(stats: Optional[dict]) -> Optional[int]:
-    """Sound post-rasterize media bound from a ``corpus_stats`` sidecar,
-    or None (→ probe). pdf media fan out to an unbounded page count, so
-    the raw media count only bounds pdf-free corpora."""
-    if not stats or stats.get("has_pdf_media"):
+    """Post-rasterize media bound from a ``corpus_stats`` sidecar, or
+    None (→ streaming probe). pdf media fan out to an unbounded page
+    count, so a pdf-bearing corpus returns :data:`UNBOUNDED_MEDIA` —
+    the guard engages directly, still with no probe pass."""
+    if not stats:
         return None
+    if stats.get("has_pdf_media"):
+        return UNBOUNDED_MEDIA
     return stats.get("max_media_per_doc")
 
 
@@ -57,6 +63,19 @@ def build_transformers_ds(ds, cfg: Optional[EngineConfig] = None,
     cfg = cfg or EngineConfig(layout=LayoutConfig(layout="transformers"))
     lcfg = cfg.layout
     ocr_n, model_n = _pool_sizes(cfg)
+
+    # decide the guard BEFORE attaching the rasterizer: the probe (when
+    # no manifest stat exists) must scan the RAW stream — a
+    # post-rasterize probe would execute the rasterizer twice
+    guard = False
+    if cfg.skew_guard:
+        if known_max_media is not None:
+            guard = known_max_media > cfg.ocr_pages_per_shard
+        else:
+            from ..stages.skew import media_probe
+            max_media, has_pdf = media_probe(ds)
+            guard = has_pdf or max_media > cfg.ocr_pages_per_shard
+
     # pdf:// media fan out to per-page img:// spans before OCR
     # (vectorized pass-through when a batch has none)
     rasterizer = PdfRasterizeStage()
@@ -71,7 +90,7 @@ def build_transformers_ds(ds, cfg: Optional[EngineConfig] = None,
             concurrency=ocr_n,
         )
 
-    if cfg.skew_guard:
+    if guard:
         # split AFTER rasterize (a 10k-page pdf is one span until its
         # pages exist) so the OCR pool sees ≤ ocr_pages_per_shard page
         # images per shard; reassemble BEFORE the scorer (the model
@@ -80,8 +99,7 @@ def build_transformers_ds(ds, cfg: Optional[EngineConfig] = None,
         from ..core.spans import KIND_MEDIA
         from ..stages.skew import with_skew_guard
         ds = with_skew_guard(ds, _ocr, max_spans=cfg.ocr_pages_per_shard,
-                             count_kind=KIND_MEDIA, selective=False,
-                             probe=True, known_max=known_max_media)
+                             count_kind=KIND_MEDIA, selective=False)
     else:
         ds = _ocr(ds)
     ds = ds.map_batches(

@@ -202,6 +202,40 @@ def has_oversized(ds, max_spans: int, count_kind: Optional[str] = None) -> bool:
     return max_span_count(ds, count_kind) > max_spans
 
 
+def media_probe(ds) -> tuple:
+    """One streaming pass over raw spans → ``(max_media_per_row,
+    has_pdf)``. Lets the transformers pipeline decide its guard from the
+    PRE-rasterize stream — probing post-rasterize would execute the
+    rasterizer twice. pdf media fan out to an unbounded page count, so
+    ``has_pdf=True`` means the raw media count is not a sound
+    post-rasterize bound and the guard must engage."""
+    from ..core.spans import KIND_MEDIA
+
+    def _m(t: pa.Table) -> pa.Table:
+        spans_col = t["spans"]
+        la = spans_col.combine_chunks() if isinstance(spans_col, pa.ChunkedArray) else spans_col
+        flat = la.flatten()
+        flags = pc.equal(flat.field("kind"), KIND_MEDIA)
+        f = flags.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.fill_null(la.value_lengths(), 0).to_numpy(zero_copy_only=False)
+        offsets = np.concatenate(([0], np.cumsum(lens)))
+        cum = np.concatenate(([0], np.cumsum(f)))
+        per_row = cum[offsets[1:]] - cum[offsets[:-1]]
+        n_pdf = pc.sum(pc.cast(pc.and_(
+            flags, pc.starts_with(flat.field("media_ref"), "pdf://")),
+            pa.int64())).as_py() or 0
+        return pa.table({
+            "m": pa.array([int(per_row.max()) if len(per_row) else 0], pa.int64()),
+            "pdf": pa.array([int(n_pdf)], pa.int64()),
+        })
+
+    parts = ds.select_columns(["spans"]).map_batches(
+        _m, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return 0, False
+    return int(parts["m"].max()), bool(parts["pdf"].sum() > 0)
+
+
 def with_skew_guard(ds, inner_stages, max_spans: int = 50_000,
                     count_kind: Optional[str] = None,
                     selective: bool = False, probe: bool = False,

@@ -274,7 +274,8 @@ def test_corpus_stats_sidecar(ray_session, tmp_path):
     pq.write_table(t2, os.path.join(path, "p0.parquet"))
     stats2 = write_corpus_stats(path)
     assert stats2["has_pdf_media"] is True
-    assert media_stat_bound(stats2) is None
+    from ocr_table_extractor_to_csv_ray.pipelines.transformers import UNBOUNDED_MEDIA
+    assert media_stat_bound(stats2) == UNBOUNDED_MEDIA  # guard, no probe
     assert media_stat_bound(None) is None
 
 
@@ -333,3 +334,34 @@ def test_generate_corpus_writes_stats(ray_session, tmp_path):
     assert stats["max_spans_per_doc"] == pc.max(
         pc.list_value_length(spans)).as_py()
     assert stats["has_pdf_media"] is False
+
+
+def test_transformers_probe_on_raw_stream(ray_session):
+    """The guard decision comes from the PRE-rasterize stream: pdf media
+    force the guard (unbounded fan-out); img-only corpora below the
+    shard threshold skip it — and either way OCR output is invariant."""
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.config import EngineConfig, LayoutConfig
+    from ocr_table_extractor_to_csv_ray.pipelines.transformers import build_transformers_ds
+    from ocr_table_extractor_to_csv_ray.stages.skew import media_probe
+
+    mk = lambda refs: pa.table({
+        "doc_id": pa.array(["d"]),
+        "spans": pa.array([[{"kind": "media", "text": "", "media_ref": r,
+                             "offset": i} for i, r in enumerate(refs)]],
+                          pa.list_(SPAN_TYPE))})
+    imgs = mk([f"img://d/p{i}" for i in range(3)])
+    pdfs = mk(["pdf://d/doc.pdf"])
+    assert media_probe(rd.from_arrow(imgs)) == (3, False)
+    assert media_probe(rd.from_arrow(pdfs)) == (1, True)
+
+    lcfg = LayoutConfig(layout="transformers")
+    for t in (imgs, pdfs):
+        plain = build_transformers_ds(
+            rd.from_arrow(t),
+            EngineConfig(layout=lcfg, skew_guard=False)).take_all()
+        guarded = build_transformers_ds(
+            rd.from_arrow(t),
+            EngineConfig(layout=lcfg, skew_guard=True,
+                         ocr_pages_per_shard=1)).take_all()
+        assert plain[0]["spans"] == guarded[0]["spans"]

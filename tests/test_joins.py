@@ -221,3 +221,66 @@ def test_grouped_discrete_quantiles_vs_bruteforce(ray_session):
         # type-1: smallest value whose cumulative count >= ceil(q*n)
         want = tuple(int(cents[int(np.ceil(q * n)) - 1]) for q in (0.5, 0.95))
         assert out[f] == want, f
+
+
+def test_asof_join_random_vs_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.window import asof_join
+
+    rng = np.random.default_rng(11)
+    def mk(n, id0):
+        return pd.DataFrame({
+            "event_id": np.arange(id0, id0 + n),
+            "user_id": rng.integers(0, 20, n),
+            "ts": (np.datetime64("2024-01-01", "us")
+                   + rng.integers(0, 10**9, n).astype("timedelta64[us]")),
+        })
+    left, right = mk(400, 0), mk(300, 1000)
+    out = asof_join(rd.from_arrow(pa.Table.from_pandas(left)),
+                    rd.from_arrow(pa.Table.from_pandas(right))).to_pandas()
+    want = pd.merge_asof(left.sort_values("ts"),
+                         right[["user_id", "ts"]].sort_values("ts"),
+                         on="ts", by="user_id", direction="backward",
+                         suffixes=("", "_r"))
+    # merge_asof's matched ts is the left ts itself; recompute matched right ts
+    rsort = {u: np.sort(g["ts"].to_numpy()) for u, g in right.groupby("user_id")}
+    exp = {}
+    for _, r in left.iterrows():
+        arr = rsort.get(r["user_id"], np.array([], dtype="datetime64[us]"))
+        i = np.searchsorted(arr, np.datetime64(r["ts"], "us"), side="right") - 1
+        exp[r["event_id"]] = None if i < 0 else arr[i]
+    got = {r["event_id"]: (None if pd.isna(r["asof_ts"]) else
+                           np.datetime64(r["asof_ts"], "us"))
+           for _, r in out.iterrows()}
+    assert len(got) == len(left)
+    assert got == exp
+
+
+def test_sliding_window_random_vs_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.window import sliding_window_agg
+
+    rng = np.random.default_rng(12)
+    n = 600
+    ts = (np.datetime64("2024-01-01", "us")
+          + rng.integers(0, 5000 * 10**6, n).astype("timedelta64[us]"))
+    t = pa.table({
+        "event_id": pa.array(np.arange(n)),
+        "user_id": pa.array(rng.integers(0, 8, n)),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "cents": pa.array(rng.integers(0, 1000, n), pa.int64()),
+    })
+    out = {r["event_id"]: (r["n_window"], r["sum_window_cents"])
+           for r in sliding_window_agg(rd.from_arrow(t).repartition(5),
+                                       window_seconds=600,
+                                       value_cents="cents").take_all()}
+    uid = t["user_id"].to_numpy(); tsi = ts.astype(np.int64)
+    cents = t["cents"].to_numpy()
+    for i in range(n):
+        m = (uid == uid[i]) & (tsi >= tsi[i] - 600_000_000) & (tsi <= tsi[i])
+        assert out[i] == (int(m.sum()), int(cents[m].sum())), i

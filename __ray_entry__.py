@@ -535,6 +535,57 @@ def _lineitem_quantiles(sf_dir: str):
                                       qs=(0.5, 0.95))
 
 
+def _lineitem_pricing(sf_dir: str):
+    """TPC-H-Q1-shaped pricing summary: per (returnflag, linestatus),
+    counts + integer-cents sums (disc price and charge floored to cents
+    per row BEFORE summing, so the result is engine-portable — float
+    sum order never matters). Partial Arrow aggregation per batch, one
+    tiny global groupby."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = lambda col: pc.cast(pc.floor(pc.multiply(col, pa.scalar(100.0))), pa.int64())
+        price = t["l_extendedprice"]
+        disc_price = pc.multiply(price, pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), t["l_tax"]))
+        g = (pa.table({
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": pc.cast(t["l_quantity"], pa.int64()),
+                "price_cents": cents(price),
+                "disc_price_cents": cents(disc_price),
+                "charge_cents": cents(charge),
+             }).group_by(["l_returnflag", "l_linestatus"])
+               .aggregate([("qty", "sum"), ("price_cents", "sum"),
+                           ("disc_price_cents", "sum"), ("charge_cents", "sum"),
+                           ("qty", "count")]))
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "sum_qty": g["qty_sum"],
+            "sum_price_cents": g["price_cents_sum"],
+            "sum_disc_price_cents": g["disc_price_cents_sum"],
+            "sum_charge_cents": g["charge_cents_sum"],
+            "n_rows": pc.cast(g["qty_count"], pa.int64()),
+        })
+
+    return (li.map_batches(partial, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                       Sum("sum_price_cents", alias_name="sum_price_cents"),
+                       Sum("sum_disc_price_cents",
+                           alias_name="sum_disc_price_cents"),
+                       Sum("sum_charge_cents", alias_name="sum_charge_cents"),
+                       Sum("n_rows", alias_name="n_rows")))
+
+
 def _events_hourly(sf_dir: str):
     import ray.data as rd
     import pyarrow.compute as pc
@@ -686,6 +737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": _events_asof,
         "events_window": _events_window,
         "lineitem_quantiles": _lineitem_quantiles,
+        "lineitem_pricing": _lineitem_pricing,
         "events_type_value": _events_type_value,
         # events
         "events_hourly": _events_hourly,
@@ -890,6 +942,19 @@ def oracle_sql() -> dict[str, str]:
                        AND r.event_type = 'signup'
                        AND r.ts <= l.ts) AS asof_ts
             FROM events l WHERE l.event_type = 'purchase'
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                       AS sum_price_cents,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT)) AS sum_disc_price_cents,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                  * (1 + l_tax) * 100) AS BIGINT))
+                       AS sum_charge_cents,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "lineitem_quantiles": """
             WITH vc AS (

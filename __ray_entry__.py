@@ -441,6 +441,17 @@ def _dedup_ngram(sf_dir: str):
     return surv.select_columns(["doc_id"])
 
 
+def _kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table; bit-exact
+    fixed-point centroid accumulation (functions/clustering.py)."""
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.clustering import kmeans_embeddings
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    assign, _ = kmeans_embeddings(emb, k=8, n_iters=5)
+    return assign
+
+
 def _dedup_embedding(sf_dir: str):
     import ray.data as rd
     from ocr_table_extractor_to_csv_ray.functions.dedup import embedding_neardup
@@ -727,6 +738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_ngram": _dedup_ngram,
         "dedup_embedding": _dedup_embedding,
+        "kmeans_embeddings": _kmeans_embeddings,
         # similarity
         "knn_cosine": _knn_cosine,
         "knn_ivf": _knn_ivf,
@@ -871,6 +883,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram": _expected_sql("dedup_ngram", "doc_id"),
         "dedup_simhash": _expected_sql("dedup_simhash", "doc_id"),
         "dedup_embedding": _expected_sql("dedup_embedding", "vec_id"),
+        "kmeans_embeddings": _expected_sql("kmeans_embeddings",
+                                           "vec_id, cluster"),
         "vocab_hll": _expected_sql("vocab_hll", "vocab_estimate"),
         "extract_resumable": _expected_sql(
             "extract_resumable", "doc_count, row_count"),

@@ -1,0 +1,127 @@
+"""Distributed k-means over an embedding column (beyond-reference —
+corpus topic bucketing / IVF-index training for 100 TB pipelines).
+
+Classic Lloyd iterations in the mergeable-partial shape:
+
+    centroids (driver, broadcast via ray.put)
+      └─ map_batches: per-row nearest centroid; per-batch PER-CLUSTER
+         vector sums QUANTIZED to int64 (scale 2^20) + counts
+      └─ tiny (k × dim ints) partial rows → driver integer reduce
+      └─ new centroids = quantized sums / counts → next round
+
+The fixed-point trick (same as ``functions/train.py``): quantizing each
+row's contribution to int64 BEFORE summation makes the per-cluster sum
+an integer sum — associative, order-independent — so centroids and the
+final assignment are bit-identical for any block layout or cluster
+size, and a sequential oracle can verify the distributed run exactly.
+
+Init is deterministic: the ``k`` rows with the smallest ids.
+Tie-breaks: nearest centroid = argmin (first index wins).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SCALE = float(1 << 20)
+
+
+def _mat(batch: pa.Table, vec_column: str) -> np.ndarray:
+    col = batch[vec_column].combine_chunks() if isinstance(batch[vec_column], pa.ChunkedArray) else batch[vec_column]
+    n = len(col)
+    flat = np.asarray(col.flatten().to_numpy(zero_copy_only=False),
+                      dtype=np.float64)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _assign(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Nearest (squared-L2) centroid per row; first index wins ties.
+
+    ``einsum`` (default non-BLAS path) keeps the dot-product summation
+    order fixed regardless of the batch's row count — a BLAS gemm may
+    re-block by shape, and a last-ulp difference at a tie boundary
+    would break the bit-exact distributed==sequential contract."""
+    # ||x-c||² = ||x||² − 2x·c + ||c||²; ||x||² is row-constant → argmin
+    # over (−2x·c + ||c||²)
+    d = (-2.0 * np.einsum("nd,kd->nk", mat, centroids)
+         + np.einsum("kd,kd->k", centroids, centroids)[None, :])
+    return np.argmin(d, axis=1)
+
+
+def _partials(batch: pa.Table, c_ref, vec_column: str) -> pa.Table:
+    import ray
+    centroids = ray.get(c_ref)
+    k, dim = centroids.shape
+    mat = _mat(batch, vec_column)
+    sums = np.zeros((k, dim), np.int64)
+    counts = np.zeros(k, np.int64)
+    if mat.shape[0]:
+        a = _assign(mat, centroids)
+        q = np.round(mat * SCALE).astype(np.int64)
+        np.add.at(sums, a, q)
+        counts += np.bincount(a, minlength=k)
+    return pa.table({
+        "cluster": pa.array(np.arange(k, dtype=np.int64)),
+        "vsum": pa.array(list(sums), pa.list_(pa.int64(), dim)),
+        "n": pa.array(counts),
+    })
+
+
+def kmeans_embeddings(ds, k: int = 8, n_iters: int = 5,
+                      id_column: str = "vec_id",
+                      vec_column: str = "embedding") -> Tuple:
+    """Returns ``(assignments_ds, centroids)`` — assignments is a
+    Dataset of ``(id, cluster)``; centroids the final (k × dim) array.
+
+    Empty clusters keep their previous centroid (deterministic, no
+    reseeding randomness).
+    """
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    vecs = ds.select_columns([id_column, vec_column]).materialize()
+    # deterministic init: the k smallest ids (one tiny sort of (id) only)
+    ids_only = vecs.select_columns([id_column]).to_pandas()
+    seed_ids = np.sort(ids_only[id_column].to_numpy())[:k]
+    id_arr = pa.array(seed_ids)
+    seed_rows = (vecs.map_batches(
+        lambda t: t.filter(pc.is_in(t[id_column], value_set=id_arr)),
+        batch_format="pyarrow").to_pandas()
+        .sort_values(id_column, kind="mergesort"))
+    centroids = np.stack([np.asarray(v, np.float64)
+                          for v in seed_rows[vec_column]])
+
+    for _ in range(n_iters):
+        c_ref = ray.put(centroids)
+        parts = vecs.map_batches(
+            functools.partial(_partials, c_ref=c_ref, vec_column=vec_column),
+            batch_format="pyarrow").to_pandas()
+        k_, dim = centroids.shape
+        sums = np.zeros((k_, dim), np.int64)
+        counts = np.zeros(k_, np.int64)
+        for cl, vs, n in zip(parts["cluster"], parts["vsum"], parts["n"]):
+            sums[int(cl)] += np.asarray(vs, np.int64)
+            counts[int(cl)] += int(n)
+        nz = counts > 0
+        centroids = centroids.copy()
+        centroids[nz] = (sums[nz].astype(np.float64) / SCALE
+                         / counts[nz][:, None])
+
+    c_ref = ray.put(centroids)
+
+    def final_assign(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        c = _ray.get(c_ref)
+        mat = _mat(t, vec_column)
+        a = _assign(mat, c) if mat.shape[0] else np.empty(0, np.int64)
+        return pa.table({id_column: t[id_column],
+                         "cluster": pa.array(a.astype(np.int64))})
+
+    return (vecs.map_batches(final_assign, batch_format="pyarrow"),
+            centroids)

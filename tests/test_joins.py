@@ -284,3 +284,30 @@ def test_sliding_window_random_vs_bruteforce(ray_session):
     for i in range(n):
         m = (uid == uid[i]) & (tsi >= tsi[i] - 600_000_000) & (tsi <= tsi[i])
         assert out[i] == (int(m.sum()), int(cents[m].sum())), i
+
+
+def test_kmeans_layout_invariant_and_sane(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.clustering import kmeans_embeddings
+
+    rng = np.random.default_rng(9)
+    # 3 well-separated blobs
+    centers = np.array([[0.0] * 8, [10.0] * 8, [-10.0] * 8])
+    mat = np.concatenate([c + rng.normal(0, 0.5, (50, 8)) for c in centers])
+    t = pa.table({"vec_id": pa.array(np.arange(150), pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in mat],
+                                        pa.list_(pa.float32()))})
+    outs = []
+    for parts in (1, 13):
+        a, c = kmeans_embeddings(rd.from_arrow(t).repartition(parts),
+                                 k=3, n_iters=4)
+        outs.append(a.to_pandas().sort_values("vec_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1], check_exact=True)
+    lab = outs[0]["cluster"].to_numpy()
+    # each blob lands in exactly one cluster
+    for s in (slice(0, 50), slice(50, 100), slice(100, 150)):
+        assert len(set(lab[s])) == 1
+    assert len({lab[0], lab[50], lab[100]}) == 3

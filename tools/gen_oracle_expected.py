@@ -389,6 +389,41 @@ def expected_dedup_embedding(sf_dir: str, threshold: float = 0.97,
     return df
 
 
+def expected_kmeans(sf_dir: str, k: int = 8, n_iters: int = 5) -> pd.DataFrame:
+    """k-means oracle: sequential Lloyd loop replaying the engine spec —
+    init = k smallest vec_ids, einsum distances (fixed summation order),
+    per-row int64 fixed-point vector quantization before the cluster
+    sums (order-independent), empty clusters keep their centroid."""
+    scale = float(1 << 20)
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_numpy())
+    col = t["embedding"].combine_chunks()
+    mat = np.asarray(col.flatten().to_numpy(zero_copy_only=False),
+                     np.float64).reshape(len(ids), -1)
+    sel = np.argsort(ids, kind="mergesort")[:k]    # k smallest ids, ascending
+    centroids = mat[sel].copy()
+
+    def assign(m, c):
+        d = (-2.0 * np.einsum("nd,kd->nk", m, c)
+             + np.einsum("kd,kd->k", c, c)[None, :])
+        return np.argmin(d, axis=1)
+
+    for _ in range(n_iters):
+        a = assign(mat, centroids)
+        q = np.round(mat * scale).astype(np.int64)
+        sums = np.zeros_like(centroids, dtype=np.int64)
+        np.add.at(sums, a, q)
+        counts = np.bincount(a, minlength=k)
+        nz = counts > 0
+        centroids = centroids.copy()
+        centroids[nz] = sums[nz].astype(np.float64) / scale / counts[nz][:, None]
+    a = assign(mat, centroids)
+    df = pd.DataFrame({"vec_id": ids.astype("int64"),
+                       "cluster": a.astype("int64")})
+    return df
+
+
 def expected_vocab_hll(sf_dir: str, p: int = 12) -> pd.DataFrame:
     """HLL (Flajolet et al., standard bias/linear-counting corrections)
     over the corpus token set. Register-wise max makes the per-batch
@@ -772,6 +807,7 @@ def main() -> None:
                          ("fingerprint_rolling", expected_rolling_fp),
                          ("knn_ivf", expected_knn_ivf),
                          ("dedup_embedding", expected_dedup_embedding),
+                         ("kmeans_embeddings", expected_kmeans),
                          ("vocab_hll", expected_vocab_hll)):
             df = fn(sf_dir)
             df.insert(0, "sig", sig)

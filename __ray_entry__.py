@@ -322,6 +322,13 @@ def _doc_token_stats(sf_dir: str):
             .select_columns(["doc_id", "n_chars", "n_tokens_ws"]))
 
 
+def _term_doc_freq(sf_dir: str):
+    """Vocabulary-scale aggregate: document frequency per token, with
+    per-batch distinct-(token,doc) pre-aggregation before the shuffle."""
+    from ocr_table_extractor_to_csv_ray.functions.textstats import doc_freq
+    return doc_freq(_docs(sf_dir), min_df=2)
+
+
 def _lang_distribution(sf_dir: str):
     from ray.data.aggregate import Count
     return _docs(sf_dir).groupby("lang").aggregate(Count(alias_name="n_docs"))
@@ -720,6 +727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_tables": _html_tables,
         # text analysis
         "doc_token_stats": _doc_token_stats,
+        "term_doc_freq": _term_doc_freq,
         "lang_distribution": _lang_distribution,
         "corpus_stats_by_lang": _corpus_stats_by_lang,
         "langid": _langid,
@@ -891,6 +899,15 @@ def oracle_sql() -> dict[str, str]:
         "train_classifier": _expected_sql(
             "train_classifier",
             "n_examples, n_tokens, initial_loss, final_loss, token_accuracy"),
+        "term_doc_freq": r"""
+            SELECT token, count(DISTINCT doc_id) AS df
+            FROM (SELECT doc_id,
+                         unnest(regexp_split_to_array(trim(text), '\s+'))
+                             AS token
+                  FROM documents)
+            GROUP BY token
+            HAVING count(DISTINCT doc_id) >= 2
+        """,
         "doc_token_stats": r"""
             SELECT doc_id,
                    length(text) AS n_chars,

@@ -228,3 +228,50 @@ def rolling_fingerprint_batch(batch: pa.Table, k: int = 3, sketch_size: int = 8)
     if "fp_sketch" in out.column_names:
         out = out.drop_columns(["fp_sketch"])
     return out.append_column("fp_sketch", pa.array(sketches, pa.list_(pa.int64())))
+
+
+def doc_freq(ds, column: str = "text", min_df: int = 1):
+    """Document frequency per whitespace token — the vocabulary-scale
+    aggregate behind TF-IDF / BM25 / stopword mining.
+
+    Local combine first: each batch emits one row per DISTINCT
+    (token, doc) pair collapsed to per-batch ``(token, df_partial)``
+    counts, so the vocabulary shuffle moves per-batch-unique tokens,
+    never the token stream. One global ``groupby(token).sum`` finishes.
+    Tokenization matches ``token_stats_batch`` (trim + ``\\s+`` split;
+    empty doc contributes the single empty token), so the whole thing
+    is mirrorable in ANSI SQL for the driver oracle.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t[column].combine_chunks() if isinstance(t[column], pa.ChunkedArray) else t[column]
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        n = len(toks)
+        lens = pc.fill_null(toks.value_lengths(), 0).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        flat = toks.flatten()
+        # distinct (doc, token): encode token to dictionary ints, then a
+        # single np.unique over (doc_idx, code) pairs — vectorized
+        enc = flat.dictionary_encode()
+        vocab = np.int64(len(enc.dictionary))
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+        pair = doc_idx * (vocab + 1) + codes
+        uniq = np.unique(pair)
+        u_codes = (uniq % (vocab + 1)).astype(np.int64)
+        cnt = np.bincount(u_codes, minlength=int(vocab))
+        keep = np.nonzero(cnt)[0]
+        return pa.table({
+            "token": enc.dictionary.take(pa.array(keep, pa.int64())),
+            "df": pa.array(cnt[keep].astype(np.int64)),
+        })
+
+    out = (ds.select_columns([column])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("token").aggregate(Sum("df", alias_name="df")))
+    if min_df > 1:
+        out = out.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["df"], pa.scalar(min_df))),
+            batch_format="pyarrow")
+    return out

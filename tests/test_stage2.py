@@ -531,3 +531,16 @@ def test_train_classifier_deterministic_and_learns(ray_session):
     assert row["n_examples"] > 0 and row["n_tokens"] > 0
     assert row["final_loss"] < row["initial_loss"]
     assert row["token_accuracy"] > 1.5 / 13
+
+def test_doc_freq_vs_bruteforce(ray_session):
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.textstats import doc_freq
+    docs = [{"doc_id": i, "text": t} for i, t in enumerate(
+        ["a b a", "b c", "", "  ", "c c c d"])]
+    out = {r["token"]: r["df"]
+           for r in doc_freq(rd.from_items(docs).repartition(3)).take_all()}
+    # "" docs tokenize to the single empty token (SQL-split parity)
+    assert out == {"a": 1, "b": 2, "c": 2, "d": 1, "": 2}
+    filt = {r["token"]: r["df"]
+            for r in doc_freq(rd.from_items(docs), min_df=2).take_all()}
+    assert filt == {"b": 2, "c": 2, "": 2}

@@ -329,6 +329,16 @@ def _term_doc_freq(sf_dir: str):
     return doc_freq(_docs(sf_dir), min_df=2)
 
 
+_BM25_TERMS = ("data", "table", "vector")
+
+
+def _bm25_search(sf_dir: str):
+    """BM25 top-20 over documents for a fixed query, fixed-point integer
+    scores (functions/search.py)."""
+    from ocr_table_extractor_to_csv_ray.functions.search import bm25_search
+    return bm25_search(_docs(sf_dir), _BM25_TERMS, k=20)
+
+
 def _lang_distribution(sf_dir: str):
     from ray.data.aggregate import Count
     return _docs(sf_dir).groupby("lang").aggregate(Count(alias_name="n_docs"))
@@ -728,6 +738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "doc_token_stats": _doc_token_stats,
         "term_doc_freq": _term_doc_freq,
+        "bm25_search": _bm25_search,
         "lang_distribution": _lang_distribution,
         "corpus_stats_by_lang": _corpus_stats_by_lang,
         "langid": _langid,
@@ -899,6 +910,49 @@ def oracle_sql() -> dict[str, str]:
         "train_classifier": _expected_sql(
             "train_classifier",
             "n_examples, n_tokens, initial_loss, final_loss, token_accuracy"),
+        "bm25_search": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                FROM documents
+            ), stats AS (
+                SELECT count(*) AS n_docs,
+                       sum(array_length(regexp_split_to_array(trim(text), '\s+')))
+                           AS total
+                FROM documents
+            ), q(term) AS (VALUES ('data'), ('table'), ('vector')),
+            df AS (
+                SELECT q.term, count(DISTINCT t.doc_id) AS df
+                FROM q LEFT JOIN toks t ON t.token = q.term GROUP BY q.term
+            ), tf AS (
+                SELECT doc_id, token, count(*) AS tf FROM toks
+                WHERE token IN ('data', 'table', 'vector') GROUP BY 1, 2
+            ), dl AS (
+                SELECT doc_id,
+                       array_length(regexp_split_to_array(trim(text), '\s+')) AS dl
+                FROM documents
+            ), scored AS (
+                -- association order mirrors functions/search.py exactly;
+                -- per-(doc,term) contributions floored to int64 BEFORE the
+                -- per-doc sum so summation order can never matter
+                SELECT tf.doc_id,
+                       sum(CAST(floor(
+                           1048576.0
+                           * ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                           * tf.tf * (1.2 + 1)
+                           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl
+                              / (CAST(stats.total AS DOUBLE) / stats.n_docs))))
+                       ) AS BIGINT)) AS score_q
+                FROM tf
+                JOIN df ON df.term = tf.token
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN stats
+                GROUP BY tf.doc_id
+            )
+            SELECT doc_id, score_q,
+                   row_number() OVER (ORDER BY score_q DESC, doc_id) AS rank
+            FROM scored ORDER BY score_q DESC, doc_id LIMIT 20
+        """,
         "term_doc_freq": r"""
             SELECT token, count(DISTINCT doc_id) AS df
             FROM (SELECT doc_id,

@@ -544,3 +544,35 @@ def test_doc_freq_vs_bruteforce(ray_session):
     filt = {r["token"]: r["df"]
             for r in doc_freq(rd.from_items(docs), min_df=2).take_all()}
     assert filt == {"b": 2, "c": 2, "": 2}
+
+def test_bm25_vs_bruteforce(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.search import bm25_search
+
+    docs = [
+        "apple banana apple", "banana cherry", "apple apple apple apple",
+        "cherry cherry banana apple", "durian", "", "apple",
+    ]
+    ds = rd.from_items([{"doc_id": i, "text": t}
+                        for i, t in enumerate(docs)]).repartition(3)
+    out = bm25_search(ds, ["apple", "cherry"], k=5).to_pandas()
+    # brute force (same contract: int contributions, floor at 2^20)
+    N = len(docs); S = float(1 << 20)
+    tok = [d.split() if d.strip() else [""] for d in docs]
+    dls = [len(t) for t in tok]
+    avgdl = sum(dls) / N
+    want = {}
+    for t in ("apple", "cherry"):
+        df = sum(1 for d in tok if t in d)
+        idf = np.log((N - df + 0.5) / (df + 0.5) + 1.0)
+        for i, d in enumerate(tok):
+            tf = d.count(t)
+            if tf:
+                c = np.floor(((S * idf) * float(tf)) * (1.2 + 1)
+                             / (tf + 1.2 * (1 - 0.75 + 0.75 * (dls[i] / avgdl))))
+                want[i] = want.get(i, 0) + int(c)
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = list(zip(out["doc_id"], out["score_q"]))
+    assert got == top
+    assert list(out["rank"]) == [1, 2, 3, 4, 5]

@@ -51,10 +51,7 @@ def _corpus_stats(ds, column: str):
 
 def _term_dfs(ds, column: str, terms: Sequence[str]) -> Dict[str, int]:
     from .textstats import doc_freq
-    term_arr = pa.array(list(terms))
-    df_ds = doc_freq(ds, column=column).map_batches(
-        lambda t: t.filter(pc.is_in(t["token"], value_set=term_arr)),
-        batch_format="pyarrow")
+    df_ds = doc_freq(ds, column=column, terms=terms)
     out = {t: 0 for t in terms}
     for row in df_ds.to_pandas().itertuples():
         out[row.token] = int(row.df)

@@ -230,7 +230,7 @@ def rolling_fingerprint_batch(batch: pa.Table, k: int = 3, sketch_size: int = 8)
     return out.append_column("fp_sketch", pa.array(sketches, pa.list_(pa.int64())))
 
 
-def doc_freq(ds, column: str = "text", min_df: int = 1):
+def doc_freq(ds, column: str = "text", min_df: int = 1, terms=None):
     """Document frequency per whitespace token — the vocabulary-scale
     aggregate behind TF-IDF / BM25 / stopword mining.
 
@@ -241,8 +241,14 @@ def doc_freq(ds, column: str = "text", min_df: int = 1):
     Tokenization matches ``token_stats_batch`` (trim + ``\\s+`` split;
     empty doc contributes the single empty token), so the whole thing
     is mirrorable in ANSI SQL for the driver oracle.
+
+    ``terms``: optional term whitelist — the flat token stream is
+    filtered BEFORE the distinct/shuffle, so a few-term df lookup
+    (BM25's idf) never shuffles the vocabulary.
     """
     from ray.data.aggregate import Sum
+
+    term_arr = pa.array(list(terms)) if terms is not None else None
 
     def partial(t: pa.Table) -> pa.Table:
         text = t[column].combine_chunks() if isinstance(t[column], pa.ChunkedArray) else t[column]
@@ -252,6 +258,13 @@ def doc_freq(ds, column: str = "text", min_df: int = 1):
         lens = pc.fill_null(toks.value_lengths(), 0).to_numpy(zero_copy_only=False)
         doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
         flat = toks.flatten()
+        if term_arr is not None:
+            m = pc.is_in(flat, value_set=term_arr).to_numpy(zero_copy_only=False)
+            flat = flat.filter(pa.array(m))
+            doc_idx = doc_idx[m]
+            if len(flat) == 0:
+                return pa.table({"token": pa.array([], pa.string()),
+                                 "df": pa.array([], pa.int64())})
         # distinct (doc, token): encode token to dictionary ints, then a
         # single np.unique over (doc_idx, code) pairs — vectorized
         enc = flat.dictionary_encode()

@@ -148,7 +148,9 @@ def _multimodal_features(sf_dir: str):
 
 def _dataset_builder(sf_dir: str):
     from ocr_table_extractor_to_csv_ray.pipelines.databuild import build_dataset
-    out = build_dataset(_corpus(sf_dir))
+    ds, stats = _corpus(sf_dir, with_stats=True)
+    out = build_dataset(ds, ids_known_unique=bool(
+        stats and stats.get("doc_ids_unique")))
     return out.select_columns(["doc_id", "n_rows", "n_cols", "error"])
 
 
@@ -159,7 +161,9 @@ def _train_classifier(sf_dir: str):
     functions/train.py)."""
     from ocr_table_extractor_to_csv_ray.functions.train import train_token_classifier
     from ocr_table_extractor_to_csv_ray.pipelines.databuild import build_dataset
-    return train_token_classifier(build_dataset(_corpus(sf_dir)))
+    ds, stats = _corpus(sf_dir, with_stats=True)
+    return train_token_classifier(build_dataset(ds, ids_known_unique=bool(
+        stats and stats.get("doc_ids_unique"))))
 
 
 def _token_accuracy(sf_dir: str):
@@ -172,7 +176,9 @@ def _token_accuracy(sf_dir: str):
     from ocr_table_extractor_to_csv_ray.functions.train import LABEL2ID as _LABEL2ID
     from ocr_table_extractor_to_csv_ray.pipelines.databuild import build_dataset
 
-    ds = build_dataset(_corpus(sf_dir))
+    corpus, stats = _corpus(sf_dir, with_stats=True)
+    ds = build_dataset(corpus, ids_known_unique=bool(
+        stats and stats.get("doc_ids_unique")))
 
     def to_ids(t: pa.Table) -> pa.Table:
         labels_rows = t["labels"].to_pylist()

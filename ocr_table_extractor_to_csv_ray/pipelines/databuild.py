@@ -76,19 +76,51 @@ def build_examples_batch(batch: pa.Table, expected_n_cols=None,
 
 
 def dedup_first_wins(ds, key: str = "doc_id"):
-    """A4: cross-document exact dedup, first (min key order) wins.
+    """A4: cross-document exact dedup, one row per key.
 
-    Arrow group batches throughout — ``list<struct>`` columns don't
-    survive a pandas round-trip."""
+    The naive ``groupby(key).map_groups(first)`` sorts the FULL payload
+    all-to-all even when every key is unique — at corpus scale that is
+    the whole dataset through the shuffle for nothing. Instead: a
+    keys-only ``groupby.count`` finds the (usually empty) duplicate-key
+    set; no duplicates → the stream passes through untouched; otherwise
+    only duplicate-key rows shuffle while the rest bypass (same
+    selective pattern as the skew guard). Arrow batches throughout —
+    ``list<struct>`` columns don't survive a pandas round-trip."""
+    import pyarrow.compute as pc
+    import ray
+
+    counts = ds.select_columns([key]).groupby(key).count()
+    cnt_col = [c for c in counts.schema().names if c != key][0]
+    dup = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t[cnt_col], pa.scalar(2))),
+        batch_format="pyarrow").select_columns([key]).to_pandas()
+    if len(dup) == 0:
+        return ds
+    ref = ray.put(pa.array(dup[key]))
+
+    def _normal(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.is_in(t[key], value_set=ray.get(ref))))
+
+    def _dups(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[key], value_set=ray.get(ref)))
+
     def first(g: pa.Table) -> pa.Table:
         return g.sort_by(key).slice(0, 1)
-    return ds.groupby(key).map_groups(first, batch_format="pyarrow")
+
+    deduped = (ds.map_batches(_dups, batch_format="pyarrow")
+               .groupby(key).map_groups(first, batch_format="pyarrow"))
+    return ds.map_batches(_normal, batch_format="pyarrow").union(deduped)
 
 
 def build_dataset(ds, out_dir: Optional[str] = None, expected_n_cols=None,
-                  header_regexes=None, max_columns: int = 6, dedup: bool = True):
-    """Corpus Dataset → labeled-example Dataset (optionally JSONL-sunk)."""
-    if dedup:
+                  header_regexes=None, max_columns: int = 6, dedup: bool = True,
+                  ids_known_unique: bool = False):
+    """Corpus Dataset → labeled-example Dataset (optionally JSONL-sunk).
+
+    ``ids_known_unique``: manifest fact (``corpus_stats()['doc_ids_unique']``)
+    that every ``doc_id`` occurs once — the dedup step then costs
+    nothing instead of a keys-only probe."""
+    if dedup and not ids_known_unique:
         ds = dedup_first_wins(ds)
     out = ds.map_batches(
         functools.partial(build_examples_batch, expected_n_cols=expected_n_cols,

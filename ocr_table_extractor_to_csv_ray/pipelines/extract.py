@@ -84,10 +84,18 @@ def write_corpus_stats(input_dir: str) -> Dict:
     ds = rd.read_parquet(corpus_files(input_dir), columns=["spans"])
     # one partial row per input block → a tiny frame on the driver
     parts = ds.map_batches(_maxes, batch_format="pyarrow").to_pandas()
+
+    # doc_id uniqueness: one ingest-time keys-only groupby lets every
+    # later build_dataset run skip its dedup shuffle/probe outright
+    ids = rd.read_parquet(corpus_files(input_dir), columns=["doc_id"])
+    n_rows = ids.count()
+    counts = ids.groupby("doc_id").count()
+    n_distinct = counts.count()
     stats = {
         "max_spans_per_doc": int(parts["m_all"].max()),
         "max_media_per_doc": int(parts["m_media"].max()),
         "has_pdf_media": bool(parts["n_pdf"].sum() > 0),
+        "doc_ids_unique": bool(n_distinct == n_rows),
     }
     with open(os.path.join(input_dir, STATS_FILE), "w") as fh:
         json.dump(stats, fh)
@@ -232,7 +240,8 @@ def generate_corpus(out_dir: str, n_docs: int, seed: int = 42,
     if os.path.exists(marker):
         with open(marker) as fh:
             if fh.read().strip() == stamp:
-                if corpus_stats(out_dir) is None:   # backfill older caches
+                st = corpus_stats(out_dir)
+                if st is None or "doc_ids_unique" not in st:  # backfill
                     write_corpus_stats(out_dir)
                 return out_dir
     import shutil

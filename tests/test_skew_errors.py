@@ -265,7 +265,7 @@ def test_corpus_stats_sidecar(ray_session, tmp_path):
     assert corpus_stats(path) is None
     stats = write_corpus_stats(path)
     assert stats == {"max_spans_per_doc": 503, "max_media_per_doc": 3,
-                     "has_pdf_media": False}
+                     "has_pdf_media": False, "doc_ids_unique": True}
     assert corpus_stats(path) == stats
     assert media_stat_bound(stats) == 3
     # pdf media make the post-rasterize media count unbounded -> no bound

@@ -576,3 +576,18 @@ def test_bm25_vs_bruteforce(ray_session):
     got = list(zip(out["doc_id"], out["score_q"]))
     assert got == top
     assert list(out["rank"]) == [1, 2, 3, 4, 5]
+
+def test_dedup_first_wins_selective(ray_session):
+    """Duplicate keys shuffle; unique keys bypass — one row per key
+    either way, and a fully-unique stream passes through untouched."""
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.pipelines.databuild import dedup_first_wins
+    t = pa.table({"doc_id": pa.array(["a", "b", "a", "c", "b"]),
+                  "v": pa.array([1, 2, 3, 4, 5], pa.int64())})
+    out = dedup_first_wins(rd.from_arrow(t).repartition(3)).take_all()
+    assert sorted(r["doc_id"] for r in out) == ["a", "b", "c"]
+    assert {r["doc_id"]: True for r in out}  # one row per key
+    uniq = pa.table({"doc_id": pa.array(["x", "y"]),
+                     "v": pa.array([1, 2], pa.int64())})
+    out2 = dedup_first_wins(rd.from_arrow(uniq)).take_all()
+    assert sorted(r["v"] for r in out2) == [1, 2]

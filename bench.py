@@ -132,6 +132,66 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     return result
 
 
+def _busy(dur: float) -> int:
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < dur:
+        for _ in range(10_000):
+            pass
+        n += 1
+    return n
+
+
+def _cpu_probe(dur: float = 0.3, procs: int = 8) -> float:
+    """Aggregate busy-loop rate across ``procs`` parallel processes — a
+    direct measure of hypervisor steal / noisy neighbors. Multi-process
+    on purpose: neighbor steal can leave one core fast while eating
+    half the socket, which a single-thread probe never sees (loadavg
+    can't separate neighbors from our own just-finished runs either)."""
+    import multiprocessing as mp
+    with mp.Pool(procs) as pool:
+        counts = pool.map(_busy, [dur] * procs)
+    return sum(counts) / dur
+
+
+_RATE_FILE = "/tmp/graft_quiet_rate.json"
+
+
+def _load_best_rate() -> float:
+    try:
+        with open(_RATE_FILE) as fh:
+            return float(json.load(fh)["rate"])
+    except (OSError, ValueError, KeyError):
+        return 0.0
+
+
+def _store_best_rate(rate: float) -> None:
+    try:
+        with open(_RATE_FILE, "w") as fh:
+            json.dump({"rate": rate}, fh)
+    except OSError:
+        pass
+
+
+def _wait_quiet(best: float, max_wait: float = 300.0) -> float:
+    """Block until the probe reaches ≥85 % of the best rate ever seen
+    on this box (persisted across invocations — a single noisy
+    invocation can't self-calibrate to a noisy baseline), or max_wait.
+    The shared VM's noise is temporally correlated; measuring inside a
+    noisy window makes every level slow AND unequal, so waiting is the
+    difference between measuring the engine and the neighbors."""
+    best = max(best, _load_best_rate())
+    t0 = time.time()
+    while True:
+        r = _cpu_probe()
+        if r > best:
+            best = r
+            _store_best_rate(best)
+        if r >= 0.85 * best or time.time() - t0 > max_wait:
+            return best
+        time.sleep(10)
+
+
 def run_scaling(sf_dir: str) -> dict:
     """Fresh process per parallelism level; same pre-generated input.
 
@@ -160,9 +220,16 @@ def run_scaling(sf_dir: str) -> dict:
     # noise, and min-of-k isolates the engine from the neighbors.
     lo, hi = 4, 16
     times = {lo: [], hi: []}
-    # 3 repeats per level, interleaved: the VM's noise is temporally
-    # correlated, so adjacent same-level runs would both absorb it
-    for ncpu in (lo, hi, lo, hi, lo, hi):
+    # 4 repeats per level, interleaved: the VM's noise is temporally
+    # correlated, so adjacent same-level runs would both absorb it and
+    # min-of-k needs at least one quiet window per level.
+    # Before each run, wait (bounded) for the box to go quiet.
+    best_rate = _cpu_probe()
+    wait_budget = 600.0          # total seconds of quiet-waiting allowed
+    for ncpu in (lo, hi, lo, hi, lo, hi, lo, hi):
+        t0 = time.time()
+        best_rate = _wait_quiet(best_rate, max_wait=min(240.0, wait_budget))
+        wait_budget = max(0.0, wait_budget - (time.time() - t0))
         times[ncpu].append(run(ncpu)["queries"]["extract_dynamic_write"])
     t_lo, t_hi = min(times[lo]), min(times[hi])
     eff = (t_lo / t_hi) / (hi / lo)

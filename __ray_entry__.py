@@ -557,6 +557,39 @@ def _events_window(sf_dir: str):
     return out.select_columns(["event_id", "n_window", "sum_window_cents"])
 
 
+def _events_range_join(sf_dir: str):
+    """Range join: purchases within ±300 s of any error event
+    (non-equi containment via bucket-replicated intervals)."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from ocr_table_extractor_to_csv_ray.functions.window import range_join
+
+    def typed(event_type):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], event_type)) \
+                    .select(["event_id", "ts"])
+        return f
+
+    ev = lambda: rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                 columns=["event_id", "ts", "event_type"])
+    points = (ev().map_batches(typed("purchase"), batch_format="pyarrow")
+              .map_batches(lambda t: t.rename_columns(["point_id", "ts"]),
+                           batch_format="pyarrow"))
+
+    def widen(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        lo = pc.cast(pc.subtract(us, pa.scalar(300_000_000)), pa.timestamp("us"))
+        hi = pc.cast(pc.add(us, pa.scalar(300_000_000)), pa.timestamp("us"))
+        return pa.table({"interval_id": t["event_id"], "start": lo, "end": hi})
+
+    intervals = (ev().map_batches(typed("error"), batch_format="pyarrow")
+                 .map_batches(widen, batch_format="pyarrow"))
+    out = range_join(points, intervals)
+    return out.map_batches(
+        lambda t: t.rename_columns(["purchase_event_id", "error_event_id"]),
+        batch_format="pyarrow")
+
+
 def _lineitem_quantiles(sf_dir: str):
     """Exact grouped p50/p95 of extended price (integer cents) via the
     distinct-value histogram — scale-safe for low-cardinality groups."""
@@ -773,6 +806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _events_sessions,
         "events_asof": _events_asof,
         "events_window": _events_window,
+        "events_range_join": _events_range_join,
         "lineitem_quantiles": _lineitem_quantiles,
         "lineitem_pricing": _lineitem_pricing,
         "events_type_value": _events_type_value,
@@ -1033,6 +1067,14 @@ def oracle_sql() -> dict[str, str]:
                        AND r.event_type = 'signup'
                        AND r.ts <= l.ts) AS asof_ts
             FROM events l WHERE l.event_type = 'purchase'
+        """,
+        "events_range_join": """
+            SELECT p.event_id AS purchase_event_id,
+                   e.event_id AS error_event_id
+            FROM events p, events e
+            WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+              AND p.ts >= e.ts - INTERVAL 300 SECONDS
+              AND p.ts <= e.ts + INTERVAL 300 SECONDS
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -76,6 +76,80 @@ def asof_join(left_ds, right_ds, key: str = "user_id", ts: str = "ts",
     return tagged.groupby(key).map_groups(merge, batch_format="pyarrow")
 
 
+def range_join(points_ds, intervals_ds, point_id: str = "point_id",
+               interval_id: str = "interval_id", ts: str = "ts",
+               start: str = "start", end: str = "end",
+               bucket_seconds: float = 600.0):
+    """Non-equi interval containment join: every (point, interval) pair
+    with ``start ≤ point.ts ≤ end``. Returns ``(point_id, interval_id)``.
+
+    Shuffle shape: time is bucketized (``bucket_seconds``); each
+    interval row replicates to every bucket it overlaps, each point
+    goes to exactly one bucket, and ONE ``groupby(bucket)`` co-locates
+    candidates — pairs form only in the point's own bucket, so no
+    dedup pass is needed. Partitioning assumption: one bucket's rows
+    fit one task — size ``bucket_seconds`` to the data's time density
+    (same contract class as ``sessionize``); intervals much wider than
+    the bucket multiply replication, so pick the bucket near the median
+    interval width. The two id columns must share a dtype (they travel
+    in one unified schema through the bucket shuffle).
+    """
+    def _pts(t: pa.Table) -> pa.Table:
+        tsv = _ts_us(t[ts], f"points.{ts}")
+        tsv = tsv.to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        w = int(round(bucket_seconds * 1_000_000))
+        return pa.table({
+            "bucket": pa.array(tsv // w),
+            "pid": t[point_id],
+            "iid": pa.nulls(t.num_rows, pa.int64()),
+            "p_ts": pa.array(tsv),
+            "i_lo": pa.nulls(t.num_rows, pa.int64()),
+            "i_hi": pa.nulls(t.num_rows, pa.int64()),
+        })
+
+    def _ivs(t: pa.Table) -> pa.Table:
+        lo = _ts_us(t[start], f"intervals.{start}")
+        hi = _ts_us(t[end], f"intervals.{end}")
+        lo = lo.to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        hi = hi.to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        w = int(round(bucket_seconds * 1_000_000))
+        b_lo, b_hi = lo // w, hi // w
+        reps = np.maximum(b_hi - b_lo + 1, 0).astype(np.int64)
+        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), reps)
+        offs = np.concatenate([np.arange(r) for r in reps]) if len(idx) else np.empty(0, np.int64)
+        ids = t[interval_id].combine_chunks() if isinstance(t[interval_id], pa.ChunkedArray) else t[interval_id]
+        return pa.table({
+            "bucket": pa.array(b_lo[idx] + offs),
+            "pid": pa.nulls(len(idx), ids.type),
+            "iid": ids.take(pa.array(idx)),
+            "p_ts": pa.nulls(len(idx), pa.int64()),
+            "i_lo": pa.array(lo[idx]),
+            "i_hi": pa.array(hi[idx]),
+        })
+
+    tagged = (points_ds.map_batches(_pts, batch_format="pyarrow")
+              .union(intervals_ds.map_batches(_ivs, batch_format="pyarrow")))
+
+    def pair(g: pa.Table) -> pa.Table:
+        is_pt = pc.is_valid(g["p_ts"]).to_numpy(zero_copy_only=False)
+        pts_t = g.filter(pa.array(is_pt))
+        ivs_t = g.filter(pa.array(~is_pt))
+        if pts_t.num_rows == 0 or ivs_t.num_rows == 0:
+            return pa.table({point_id: pa.chunked_array([], g["pid"].type),
+                             interval_id: pa.chunked_array([], g["iid"].type)})
+        p_ts = pts_t["p_ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = ivs_t["i_lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = ivs_t["i_hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = (lo[None, :] <= p_ts[:, None]) & (p_ts[:, None] <= hi[None, :])
+        pi, ii = np.nonzero(m)
+        return pa.table({
+            point_id: pts_t["pid"].take(pa.array(pi.astype(np.int64))),
+            interval_id: ivs_t["iid"].take(pa.array(ii.astype(np.int64))),
+        })
+
+    return tagged.groupby("bucket").map_groups(pair, batch_format="pyarrow")
+
+
 def sliding_window_agg(ds, key: str = "user_id", ts: str = "ts",
                        window_seconds: float = 600.0,
                        value_cents: Optional[str] = None):

@@ -311,3 +311,31 @@ def test_kmeans_layout_invariant_and_sane(ray_session):
     for s in (slice(0, 50), slice(50, 100), slice(100, 150)):
         assert len(set(lab[s])) == 1
     assert len({lab[0], lab[50], lab[100]}) == 3
+
+
+def test_range_join_buckets_and_boundaries(ray_session):
+    """Intervals spanning many buckets, boundary-inclusive containment,
+    no duplicate pairs, empty result types."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.window import range_join
+
+    us = lambda s: np.datetime64("2024-01-01T00:00:00", "us") + np.timedelta64(s, "s")
+    points = rd.from_arrow(pa.table({
+        "point_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([us(0), us(1000), us(5000), us(9999)], pa.timestamp("us")),
+    }))
+    intervals = rd.from_arrow(pa.table({
+        "interval_id": pa.array([10, 11, 12], pa.int64()),
+        "start": pa.array([us(0), us(900), us(8000)], pa.timestamp("us")),
+        "end": pa.array([us(6000), us(1000), us(8100)], pa.timestamp("us")),
+    }))
+    out = sorted((r["point_id"], r["interval_id"])
+                 for r in range_join(points, intervals,
+                                     bucket_seconds=600).take_all())
+    # interval 10 spans buckets 0..10 and catches points 1,2,3 once each;
+    # interval 11 boundary-includes point 2 at end==ts; 12 catches nobody
+    assert out == [(1, 10), (2, 10), (2, 11), (3, 10)]
+    none = range_join(points.filter(lambda r: False), intervals).take_all()
+    assert none == []

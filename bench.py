@@ -65,6 +65,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
        .map_batches(lambda t: t.slice(0, 1), batch_format="pyarrow")
        .count())
 
+    # the box's neighbor noise is bursty (see run_scaling) — wait
+    # (bounded) for a quiet window before the timed section
+    _wait_quiet(_cpu_probe(), max_wait=180.0)
+
     timings: dict[str, float] = {}
 
     def timed(name, fn):

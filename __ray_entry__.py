@@ -328,6 +328,14 @@ def _doc_token_stats(sf_dir: str):
             .select_columns(["doc_id", "n_chars", "n_tokens_ws"]))
 
 
+def _top_terms(sf_dir: str):
+    """Exact top-20 heavy hitters by term occurrences (vocabulary-scale
+    sum, partial top-k); the CMS sketch in functions/sketch.py is the
+    beyond-vocabulary scale path."""
+    from ocr_table_extractor_to_csv_ray.functions.sketch import top_terms
+    return top_terms(_docs(sf_dir), k=20)
+
+
 def _term_doc_freq(sf_dir: str):
     """Vocabulary-scale aggregate: document frequency per token, with
     per-batch distinct-(token,doc) pre-aggregation before the shuffle."""
@@ -777,6 +785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "doc_token_stats": _doc_token_stats,
         "term_doc_freq": _term_doc_freq,
+        "top_terms": _top_terms,
         "bm25_search": _bm25_search,
         "lang_distribution": _lang_distribution,
         "corpus_stats_by_lang": _corpus_stats_by_lang,
@@ -950,6 +959,15 @@ def oracle_sql() -> dict[str, str]:
         "train_classifier": _expected_sql(
             "train_classifier",
             "n_examples, n_tokens, initial_loss, final_loss, token_accuracy"),
+        "top_terms": r"""
+            SELECT token, count(*) AS n,
+                   row_number() OVER (ORDER BY count(*) DESC, token) AS rank
+            FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                      AS token
+                  FROM documents)
+            GROUP BY token
+            ORDER BY n DESC, token LIMIT 20
+        """,
         "bm25_search": r"""
             WITH toks AS (
                 SELECT doc_id,

@@ -109,3 +109,127 @@ def exact_vocab_size(ds, column: str = "text") -> int:
 
     tokens = ds.map_batches(uniq_batch, batch_format="pyarrow")
     return len(tokens.unique("token"))
+
+
+class CountMinSketch:
+    """Count-min sketch (Cormode & Muthukrishnan, public algorithm):
+    ``d`` rows × ``w`` counters; estimate = min over rows; merge =
+    elementwise sum (associative — the same tree-merge contract as
+    :class:`HyperLogLog`). Overestimates only, by ≤ εN with
+    probability 1−δ for w=⌈e/ε⌉, d=⌈ln 1/δ⌉."""
+
+    def __init__(self, w: int = 4096, d: int = 4, seed: int = 19) -> None:
+        if w & (w - 1):
+            raise ValueError("w must be a power of two (multiply-shift hash)")
+        self.w, self.d = w, d
+        self._shift = np.uint64(64 - w.bit_length() + 1)
+        rng = np.random.default_rng(seed)
+        # multiply-shift row hashes: h_i(x) = (a_i·x + b_i) >> (64−log2 w).
+        # HIGH bits, deliberately: the low bits of a product mix only the
+        # low bits of x, so `mod w` would collide identically in every
+        # row for any x1 ≡ x2 (mod w) — defeating the min-of-d bound.
+        self.a = rng.integers(1, 1 << 62, size=d).astype(np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, 1 << 62, size=d).astype(np.uint64)
+        self.table = np.zeros((d, w), np.int64)
+
+    def _idx(self, h: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            x = h[None, :] * self.a[:, None] + self.b[:, None]
+        return (x >> self._shift).astype(np.int64)          # (d, n)
+
+    def add_hashes(self, h: np.ndarray, counts=None) -> None:
+        h = h.astype(np.uint64)
+        counts = (np.ones(len(h), np.int64) if counts is None
+                  else np.asarray(counts, np.int64))
+        idx = self._idx(h)
+        for r in range(self.d):
+            np.add.at(self.table[r], idx[r], counts)
+
+    def query_hashes(self, h: np.ndarray) -> np.ndarray:
+        idx = self._idx(np.asarray(h, np.uint64))
+        return np.min(
+            np.stack([self.table[r][idx[r]] for r in range(self.d)]), axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (self.w, self.d) == (other.w, other.d)
+        out = CountMinSketch(self.w, self.d)
+        out.a, out.b = self.a, self.b
+        out.table = self.table + other.table
+        return out
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, w: int = 4096, d: int = 4,
+                   seed: int = 19) -> "CountMinSketch":
+        s = cls(w, d, seed)
+        s.table = np.frombuffer(data, dtype=np.int64).reshape(d, w).copy()
+        return s
+
+
+def cms_term_counts(ds, column: str = "text", w: int = 4096, d: int = 4):
+    """One serialized CMS per batch → driver merge (the 100 TB path for
+    term frequency when the vocabulary outgrows a groupby): returns the
+    merged sketch. Only ``d·w·8`` bytes per batch reach the driver."""
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        text = t[column].combine_chunks() if isinstance(t[column], pa.ChunkedArray) else t[column]
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = toks.flatten()
+        enc = flat.dictionary_encode()
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary))
+        s = CountMinSketch(w, d)
+        hs = np.array([token_hash64(v) for v in enc.dictionary.to_pylist()],
+                      dtype=np.uint64)
+        if len(hs):
+            s.add_hashes(hs, cnt)
+        return pa.table({"sketch": pa.array([s.to_bytes()], pa.binary())})
+
+    merged = CountMinSketch(w, d)
+    for row in ds.select_columns([column]).map_batches(
+            sketch_batch, batch_format="pyarrow").iter_rows():
+        merged = merged.merge(CountMinSketch.from_bytes(row["sketch"], w, d))
+    return merged
+
+
+def top_terms(ds, k: int = 20, column: str = "text"):
+    """EXACT top-``k`` terms by total occurrences: per-batch local
+    counts (dictionary-encode + bincount) → vocabulary ``groupby.sum``
+    → per-batch partial top-k on the aggregated stream → one tiny final
+    top-k. Ties break by ascending token. The CMS above is the sketch
+    alternative when even the aggregated vocabulary is too wide."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t[column].combine_chunks() if isinstance(t[column], pa.ChunkedArray) else t[column]
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = toks.flatten()
+        enc = flat.dictionary_encode()
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), np.int64)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary))
+        return pa.table({"token": enc.dictionary,
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    summed = (ds.select_columns([column])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("token").aggregate(Sum("n", alias_name="n")))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["n", "token"],
+                                       ascending=[False, True],
+                                       kind="mergesort").head(k)
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        return out.append_column("g", pa.array(np.zeros(len(df), np.int64)))
+
+    def final(g) -> "pd.DataFrame":
+        g = g.sort_values(["n", "token"], ascending=[False, True],
+                          kind="mergesort").head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["token", "n", "rank"]]
+
+    return (summed.map_batches(local_topk, batch_format="pyarrow")
+            .groupby("g").map_groups(final, batch_format="pandas"))

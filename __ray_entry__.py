@@ -994,13 +994,13 @@ def oracle_sql() -> dict[str, str]:
                 -- per-(doc,term) contributions floored to int64 BEFORE the
                 -- per-doc sum so summation order can never matter
                 SELECT tf.doc_id,
-                       sum(CAST(floor(
+                       CAST(sum(CAST(floor(
                            1048576.0
                            * ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
                            * tf.tf * (1.2 + 1)
                            / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl
                               / (CAST(stats.total AS DOUBLE) / stats.n_docs))))
-                       ) AS BIGINT)) AS score_q
+                       ) AS BIGINT)) AS BIGINT) AS score_q
                 FROM tf
                 JOIN df ON df.term = tf.token
                 JOIN dl ON dl.doc_id = tf.doc_id
@@ -1096,14 +1096,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                   sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
-                       AS sum_price_cents,
-                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
-                            AS BIGINT)) AS sum_disc_price_cents,
-                   sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_price_cents,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
                                   * (1 + l_tax) * 100) AS BIGINT))
-                       AS sum_charge_cents,
+                        AS BIGINT) AS sum_charge_cents,
                    count(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
@@ -1130,8 +1130,8 @@ def oracle_sql() -> dict[str, str]:
         "events_window": """
             SELECT event_id,
                    count(*) OVER w AS n_window,
-                   sum(CAST(floor(value * 100) AS BIGINT)) OVER w
-                       AS sum_window_cents
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w
+                        AS BIGINT) AS sum_window_cents
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                          RANGE BETWEEN INTERVAL 600 SECONDS PRECEDING

@@ -1,6 +1,13 @@
 """Simulate the driver's correctness gate: run each queries() entry and
 its oracle_sql() side-by-side at the given sf dir, compare row count,
-schema (sorted column names) and values (rows sorted, floats rounded).
+schema (sorted column names) and values HASH-EXACTLY (rows sorted, NO
+float rounding, NO tolerance, dtype-sensitive).
+
+The round-2 version rounded floats to 6 decimals and fell back to
+rtol=1e-6, which silently passed DuckDB HUGEINT->float64 columns that
+the driver's exact value-hash rejects (VERDICT r2 "What's wrong" #2).
+This version mirrors the driver: a float64 oracle column vs an int64
+engine column is a FAIL even when every value is numerically equal.
 
 Usage: python tools/run_gate.py /root/testdata/sf0.01 [query ...]
 """
@@ -14,11 +21,14 @@ import pandas as pd
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style canonicalization: columns sorted by name, rows sorted
+    by all columns. Dtypes are PRESERVED (no float rounding) so the
+    strict ``equals`` compare below is dtype-sensitive like the driver's
+    value hash. Object columns are stringified only for a stable sort
+    key / comparable representation (bytes vs str etc.)."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype.kind == "f":
-            df[c] = df[c].round(6)
-        elif df[c].dtype == object:
+        if df[c].dtype == object:
             df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
@@ -59,17 +69,17 @@ def main():
             a, b = canon(res), canon(exp)
             rows = len(a) == len(b)
             schema = list(a.columns) == list(b.columns)
+            # strict, dtype-sensitive — mirrors the driver's exact value
+            # hash; NO rounding, NO rtol fallback.
             vals = rows and schema and a.equals(b)
-            if not vals and rows and schema:
-                # numeric tolerance fallback
-                try:
-                    pd.testing.assert_frame_equal(a, b, rtol=1e-6, atol=1e-9,
-                                                  check_dtype=False)
-                    vals = True
-                except AssertionError:
-                    pass
+            detail = ""
+            if rows and schema and not vals:
+                dt = [f"{c}:{a[c].dtype}!={b[c].dtype}" for c in a.columns
+                      if a[c].dtype != b[c].dtype]
+                detail = f" dtypes[{','.join(dt)}]" if dt else " value-diff"
             results[name] = ("PASS" if (rows and schema and vals) else
-                             f"FAIL rows={len(a)}/{len(b)} schema={schema} vals={vals}")
+                             f"FAIL rows={len(a)}/{len(b)} schema={schema} "
+                             f"vals={vals}{detail}")
             print(f"{name}: {results[name]}", flush=True)
         except Exception as ex:  # noqa: BLE001
             results[name] = f"ERROR {type(ex).__name__}: {ex}"

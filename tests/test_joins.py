@@ -311,6 +311,13 @@ def test_kmeans_layout_invariant_and_sane(ray_session):
     for s in (slice(0, 50), slice(50, 100), slice(100, 150)):
         assert len(set(lab[s])) == 1
     assert len({lab[0], lab[50], lab[100]}) == 3
+    # the parquet-checkpoint (100 TB) path is bit-identical to in-memory
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        a, _ = kmeans_embeddings(rd.from_arrow(t).repartition(7),
+                                 k=3, n_iters=4, checkpoint_path=d)
+        ck = a.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(outs[0], ck, check_exact=True)
 
 
 def test_range_join_buckets_and_boundaries(ray_session):

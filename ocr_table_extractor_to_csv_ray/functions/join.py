@@ -114,6 +114,12 @@ def hash_join(left, right, key: str, num_buckets: int = 32,
     (Ray ≥ 2.46 also ships ``Dataset.join`` with the same
     hash-partitioned plan; this spells the pattern out explicitly.)
     """
+    if hot_keys and how not in ("inner", "left"):
+        # right/outer would emit an unmatched right hot row once per
+        # sub-bucket (salt_factor duplicates) — refuse instead of
+        # silently corrupting the result
+        raise ValueError(
+            f"hot_keys salting supports how='inner'/'left' only, got {how!r}")
     left_cols = list(left.schema().names)
     right_cols = list(right.schema().names)
     all_cols = left_cols + [c for c in right_cols if c not in left_cols]

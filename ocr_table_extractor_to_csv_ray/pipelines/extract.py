@@ -34,21 +34,41 @@ def corpus_files(input_dir: str) -> List[str]:
 STATS_FILE = "_STATS.json"
 
 
+def _dir_fingerprint(input_dir: str) -> List[List]:
+    """(basename, size, mtime_ns) of every corpus parquet — the sidecar
+    freshness contract. Any file added/removed/rewritten (even same
+    size) changes the fingerprint; a copied corpus changes mtimes and
+    conservatively invalidates the sidecar (safe: probe fallback)."""
+    out = []
+    for p in corpus_files(input_dir):
+        st = os.stat(p)
+        out.append([os.path.basename(p), st.st_size, st.st_mtime_ns])
+    return out
+
+
 def corpus_stats(input_dir: str) -> Optional[Dict]:
     """Manifest-style corpus statistics sidecar (the single-directory
-    stand-in for Iceberg/Delta file stats). When present, the skew
-    guard's oversized-tail decision is a dictionary lookup instead of a
-    full streaming probe pass over 100 TB of spans. Bare parquet
-    directories without a sidecar fall back to the probe."""
+    stand-in for Iceberg/Delta file stats). When present AND fresh, the
+    skew guard's oversized-tail decision is a dictionary lookup instead
+    of a full streaming probe pass over 100 TB of spans. Bare parquet
+    directories without a sidecar — or a sidecar whose recorded file
+    fingerprint no longer matches the directory (files modified in
+    place after ``write_corpus_stats``) — fall back to the probe, so a
+    stale ``doc_ids_unique`` / ``max_spans_per_doc`` can never silently
+    skip dedup or the oversized-doc split."""
     import json
     p = os.path.join(input_dir, STATS_FILE)
     if not os.path.exists(p):
         return None
     try:
         with open(p) as fh:
-            return json.load(fh)
+            stats = json.load(fh)
     except (OSError, ValueError):
         return None
+    fp = stats.get("files")
+    if fp is not None and fp != _dir_fingerprint(input_dir):
+        return None          # stale sidecar → probe/dedup path
+    return stats
 
 
 def write_corpus_stats(input_dir: str) -> Dict:
@@ -96,6 +116,7 @@ def write_corpus_stats(input_dir: str) -> Dict:
         "max_media_per_doc": int(parts["m_media"].max()),
         "has_pdf_media": bool(parts["n_pdf"].sum() > 0),
         "doc_ids_unique": bool(n_distinct == n_rows),
+        "files": _dir_fingerprint(input_dir),
     }
     with open(os.path.join(input_dir, STATS_FILE), "w") as fh:
         json.dump(stats, fh)

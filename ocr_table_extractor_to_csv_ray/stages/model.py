@@ -69,6 +69,13 @@ class LayoutScorerStage:
             self._backend = "layoutlmv3"
         except ImportError:
             self._backend = "teacher-stub"
+        except Exception as ex:  # offline host / no cached weights → OSError
+            import logging
+            logging.getLogger(__name__).warning(
+                "LayoutLMv3 load failed (%s: %s) — teacher-stub fallback",
+                type(ex).__name__, ex)
+            self._processor = self._model = None
+            self._backend = "teacher-stub"
 
     def _page_image(self, toks: TokenSOA):
         """Blank white canvas sized to the token extent (stand-in when
@@ -111,7 +118,13 @@ class LayoutScorerStage:
 
     def _score_doc(self, doc_id: str, toks: TokenSOA) -> List[str]:
         if self._backend == "layoutlmv3" and len(toks):
-            return self._score_real(doc_id, toks)
+            try:
+                return self._score_real(doc_id, toks)
+            except Exception as ex:  # per-doc forward failure → stub, like
+                import logging        # every other real backend in the repo
+                logging.getLogger(__name__).warning(
+                    "LayoutLMv3 forward failed for doc %s (%s: %s) — "
+                    "teacher-stub fallback", doc_id, type(ex).__name__, ex)
         ex = build_example(doc_id, toks, max_columns=self.cfg.max_model_columns,
                            compute_boxes=False)   # labels only — skip box math
         if ex is None:

@@ -264,15 +264,20 @@ def test_corpus_stats_sidecar(ray_session, tmp_path):
     pq.write_table(t, os.path.join(path, "p0.parquet"))
     assert corpus_stats(path) is None
     stats = write_corpus_stats(path)
-    assert stats == {"max_spans_per_doc": 503, "max_media_per_doc": 3,
-                     "has_pdf_media": False, "doc_ids_unique": True}
+    assert {k: v for k, v in stats.items() if k != "files"} == {
+        "max_spans_per_doc": 503, "max_media_per_doc": 3,
+        "has_pdf_media": False, "doc_ids_unique": True}
     assert corpus_stats(path) == stats
     assert media_stat_bound(stats) == 3
     # pdf media make the post-rasterize media count unbounded -> no bound
     t2 = t.set_column(1, "spans", pa.array(
         [mk(1, ["pdf://x"]), mk(1, []), mk(1, [])], pa.list_(SPAN_TYPE)))
     pq.write_table(t2, os.path.join(path, "p0.parquet"))
+    # sidecar is now STALE (file rewritten in place) → must NOT be
+    # trusted: a stale doc_ids_unique would silently skip dedup
+    assert corpus_stats(path) is None
     stats2 = write_corpus_stats(path)
+    assert corpus_stats(path) == stats2          # fresh again
     assert stats2["has_pdf_media"] is True
     from ocr_table_extractor_to_csv_ray.pipelines.transformers import UNBOUNDED_MEDIA
     assert media_stat_bound(stats2) == UNBOUNDED_MEDIA  # guard, no probe

@@ -220,6 +220,52 @@ def test_minhash_dedup_clusters(ray_session):
     assert clusters.get(20) == 10
 
 
+def test_ngram_dedup_no_text_to_driver(ray_session, monkeypatch):
+    """n-gram Jaccard dedup must verify texts inside per-bucket tasks:
+    no ``to_pandas`` collection during the run may carry a text column,
+    and no ``ray.put`` payload may carry document text (VERDICT r2
+    fix #4)."""
+    import ray
+    import ray.data as rd
+    from ray.data import Dataset
+    from ocr_table_extractor_to_csv_ray.functions.dedup import ngram_jaccard_dedup
+
+    sentinel = "XDRIVERBOUNDARYX"
+    base = " ".join(f"{sentinel}tok{i}" for i in range(60))
+    texts = [base, base + " tail", "totally different words entirely apart " * 5]
+    t = pa.table({"doc_id": pa.array([10, 20, 30], pa.int64()),
+                  "text": pa.array(texts)})
+    ds = rd.from_arrow(t)          # input put happens BEFORE the spy
+
+    collected_cols = []
+    orig_to_pandas = Dataset.to_pandas
+
+    def spy_to_pandas(self, *a, **kw):
+        df = orig_to_pandas(self, *a, **kw)
+        collected_cols.append(list(df.columns))
+        return df
+
+    put_payloads = []
+    orig_put = ray.put
+
+    def spy_put(obj, *a, **kw):
+        put_payloads.append(obj)
+        return orig_put(obj, *a, **kw)
+
+    monkeypatch.setattr(Dataset, "to_pandas", spy_to_pandas)
+    monkeypatch.setattr(ray, "put", spy_put)
+    surv, clusters = ngram_jaccard_dedup(ds, threshold=0.6)
+    monkeypatch.setattr(Dataset, "to_pandas", orig_to_pandas)
+    monkeypatch.setattr(ray, "put", orig_put)
+
+    assert sorted(surv.to_pandas()["doc_id"]) == [10, 30]
+    assert clusters.get(20) == 10
+    for cols in collected_cols:
+        assert "text" not in cols, f"text column crossed the driver: {cols}"
+    for obj in put_payloads:
+        assert sentinel not in repr(obj)[:10000], "document text in ray.put"
+
+
 def test_simhash_hamming():
     from ocr_table_extractor_to_csv_ray.functions.dedup import SimHashStage, hamming64
     st = SimHashStage()

@@ -170,25 +170,63 @@ def build_extraction_ds(ds, cfg: EngineConfig,
                           batch_size=cfg.batch_size)
 
 
-def read_corpus(paths, parallelism: int = 0):
+CORPUS_FORMATS = ("parquet", "lance")
+
+
+def read_corpus(paths, parallelism: int = 0, format: str = "parquet",
+                columns: Optional[List[str]] = None):
+    """Column-pruned corpus read with format dispatch.
+
+    The north rule's corpus is a **Lance** table; the sandbox has no
+    ``lance`` package, so tests/bench run the parquet mirror of the
+    same Arrow schema (``doc_id:string, spans:list<struct<...>>``).
+    ``format="lance"`` routes through ``ray.data.read_lance`` with the
+    same column pushdown — the one-line swap documented in SURVEY.md §8
+    is this dispatch. ``paths`` is a file list for parquet, a dataset
+    URI for lance.
+    """
     import ray.data as rd
-    kwargs = {"columns": ["doc_id", "spans"]}
+    if format not in CORPUS_FORMATS:
+        raise ValueError(f"format must be one of {CORPUS_FORMATS}, got {format!r}")
+    kwargs = {"columns": list(columns) if columns else ["doc_id", "spans"]}
     if parallelism:
         kwargs["override_num_blocks"] = parallelism
+    if format == "lance":
+        return rd.read_lance(paths, **kwargs)
     return rd.read_parquet(paths, **kwargs)
 
 
+def write_output(ds, out_dir: str, format: str = "parquet",
+                 partition_cols: Optional[List[str]] = None):
+    """Sink-side mirror of :func:`read_corpus`'s dispatch. Lance has
+    its own row-group/fragment layout instead of hive partitioning, so
+    ``partition_cols`` applies to parquet only."""
+    if format not in CORPUS_FORMATS:
+        raise ValueError(f"format must be one of {CORPUS_FORMATS}, got {format!r}")
+    if format == "lance":
+        ds.write_lance(out_dir)
+        return out_dir
+    if partition_cols:
+        ds.write_parquet(out_dir, partition_cols=partition_cols)
+    else:
+        ds.write_parquet(out_dir)
+    return out_dir
+
+
 def run_extraction(input_dir: str, out_dir: str,
-                   cfg: Optional[EngineConfig] = None):
+                   cfg: Optional[EngineConfig] = None,
+                   input_format: str = "parquet",
+                   output_format: str = "parquet"):
     """Single-shot streaming run (bench path): read → extract → write."""
     cfg = cfg or EngineConfig()
-    stats = corpus_stats(input_dir)
-    ds = read_corpus(corpus_files(input_dir), cfg.num_partitions)
+    stats = corpus_stats(input_dir) if input_format == "parquet" else None
+    src = corpus_files(input_dir) if input_format == "parquet" else input_dir
+    ds = read_corpus(src, cfg.num_partitions, format=input_format)
     out = build_extraction_ds(
         ds, cfg,
         known_max_spans=None if stats is None else stats.get("max_spans_per_doc"))
-    out.write_parquet(out_dir, partition_cols=["part_id"])
-    return out_dir
+    return write_output(out, out_dir, format=output_format,
+                        partition_cols=["part_id"])
 
 
 def run_extraction_resumable(input_dir: str, out_dir: str,

@@ -610,6 +610,21 @@ def _lineitem_quantiles(sf_dir: str):
                                       qs=(0.5, 0.95))
 
 
+def _lineitem_quantiles_tdigest(sf_dir: str):
+    """t-digest SKETCH p50/p95 of extended price — the continuous-domain
+    path (shuffle moves O(delta) centroids per block-group, never rows).
+    Estimates are merge-order dependent, so this entry has no SQL
+    oracle (rows-only driver check); the rank-error bound is asserted
+    in tests/test_quantile_sketch.py."""
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.quantiles import (
+        grouped_sketch_quantiles)
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_returnflag", "l_extendedprice"])
+    return grouped_sketch_quantiles(li, "l_returnflag", "l_extendedprice",
+                                    qs=(0.5, 0.95))
+
+
 def _lineitem_pricing(sf_dir: str):
     """TPC-H-Q1-shaped pricing summary: per (returnflag, linestatus),
     counts + integer-cents sums (disc price and charge floored to cents
@@ -817,6 +832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _events_window,
         "events_range_join": _events_range_join,
         "lineitem_quantiles": _lineitem_quantiles,
+        "lineitem_quantiles_tdigest": _lineitem_quantiles_tdigest,
         "lineitem_pricing": _lineitem_pricing,
         "events_type_value": _events_type_value,
         # events

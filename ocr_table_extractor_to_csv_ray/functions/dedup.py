@@ -732,24 +732,40 @@ def _embedding_verify_group(g: pd.DataFrame, threshold: float,
     return pd.DataFrame({"left": ids[iu[keep]], "right": ids[ju[keep]]})
 
 
+def _table_planes(dim: int, n_planes: int, seed: int,
+                  n_tables: int) -> np.ndarray:
+    """``(n_tables, dim, n_planes)`` hyperplane matrices. Table 0
+    reproduces the historical single-table planes for any seed, so
+    ``n_tables=1`` results are unchanged across versions."""
+    out = np.empty((n_tables, dim, n_planes), np.float32)
+    for t in range(n_tables):
+        rng = np.random.default_rng(seed if t == 0 else seed + 1000003 * t)
+        out[t] = rng.standard_normal((dim, n_planes)).astype(np.float32)
+    return out
+
+
 def embedding_neardup(ds, threshold: float = 0.97, n_planes: int = 14,
                       seed: int = 11, id_column: str = "vec_id",
                       vec_column: str = "embedding",
-                      cluster_mode: str = "driver"):
+                      cluster_mode: str = "driver", n_tables: int = 1):
     """Random-hyperplane LSH buckets → within-bucket pairwise cosine ≥
     threshold (inside ``map_groups`` bucket tasks) → clusters.
     Returns (survivors, cluster_map).
 
-    One bucket per doc (single LSH table): recall is tunable by
-    ``n_planes``; a production run uses multiple tables (same stage
-    repeated with different seeds, unioned pairs).
+    ``n_tables`` independent LSH tables (different plane seeds) are
+    bucketed in ONE pass: each doc emits one ``(table, bucket)`` row
+    per table and verified pairs from all tables union before
+    clustering — a pair split by table 0's planes is recalled when any
+    other table co-buckets it (miss probability ``(1−(1−θ/π)^p)^T``
+    per pair). Cost: the unit-vector stream is replicated ``n_tables``×
+    into the bucket shuffle — production runs use 2–4 tables.
     """
     import functools
 
     first = ds.take(1)
     dim = len(first[0][vec_column]) if first else 0
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes)).astype(np.float32) if dim else None
+    planes_all = (_table_planes(dim, n_planes, seed, n_tables)
+                  if dim else None)
 
     def _bucket(t: pa.Table) -> pa.Table:
         col = t[vec_column].combine_chunks() if isinstance(t[vec_column], pa.ChunkedArray) else t[vec_column]
@@ -758,21 +774,29 @@ def embedding_neardup(ds, threshold: float = 0.97, n_planes: int = 14,
         mat = flat.reshape(n, -1)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         unit = mat / np.maximum(norms, 1e-12)
-        bits = (unit @ planes) > 0
-        key = (bits.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)[None, :]).sum(axis=1)
-        out = pa.table({
-            id_column: t[id_column].combine_chunks() if isinstance(t[id_column], pa.ChunkedArray) else t[id_column],
-            "bucket": pa.array(key.astype(np.int64)),
-            "unit": pa.FixedSizeListArray.from_arrays(pa.array(unit.reshape(-1)), mat.shape[1]),
+        shifts = np.arange(n_planes, dtype=np.uint64)[None, :]
+        keys = np.empty((n_tables, n), np.uint64)
+        for ti in range(n_tables):
+            bits = (unit @ planes_all[ti]) > 0
+            keys[ti] = (bits.astype(np.uint64) << shifts).sum(axis=1)
+        ids = t[id_column].combine_chunks() if isinstance(t[id_column], pa.ChunkedArray) else t[id_column]
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), n_tables))
+        unit_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(unit.reshape(-1)), mat.shape[1])
+        return pa.table({
+            id_column: ids.take(idx),
+            "table": pa.array(np.repeat(np.arange(n_tables, dtype=np.int32), n)),
+            "bucket": pa.array(keys.reshape(-1).astype(np.int64)),
+            "unit": unit_col.take(idx),
         })
-        return out
 
+    key_cols = ["table", "bucket"]
     bucketed = ds.select_columns([id_column, vec_column]).map_batches(
         _bucket, batch_format="pyarrow").materialize()
-    keys_ref = _dup_keys_ref(bucketed.select_columns(["bucket"]), ["bucket"])
+    keys_ref = _dup_keys_ref(bucketed.select_columns(key_cols), key_cols)
     if keys_ref is None:
         return ds, {}
-    dup_rows = _filter_dup_rows(bucketed, ["bucket"], keys_ref)
+    dup_rows = _filter_dup_rows(bucketed, key_cols, keys_ref)
     verified = dup_rows.groupby("__bkey").map_groups(
         functools.partial(_embedding_verify_group, threshold=threshold,
                           id_column=id_column),

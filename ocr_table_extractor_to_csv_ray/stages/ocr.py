@@ -97,31 +97,62 @@ class PdfRasterizeStage:
         return 1 + zlib.crc32(ref.encode()) % self.max_pages
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Arrow-native expansion: only the (few) pdf spans touch
+        Python — page counting and ``img://…/pageN`` ref strings. All
+        other span fields flow through vectorized ``take``s; per-row
+        offsets are renumbered with one arange subtraction."""
         import pyarrow.compute as pc
         spans_col = batch["spans"].combine_chunks() if isinstance(batch["spans"], pa.ChunkedArray) else batch["spans"]
-        refs = spans_col.flatten().field("media_ref")
-        has_pdf = pc.sum(pc.cast(pc.starts_with(refs, "pdf://"), pa.int64())).as_py()
-        if not has_pdf:
+        values = spans_col.flatten()
+        refs = values.field("media_ref")
+        is_pdf_arr = pc.and_(pc.equal(values.field("kind"), KIND_MEDIA),
+                             pc.starts_with(refs, "pdf://"))
+        if not pc.sum(pc.cast(is_pdf_arr, pa.int64())).as_py():
             return batch
-        rows = spans_col.to_pylist()
-        new_rows = []
-        for spans in rows:
-            spans = spans or []
-            out, off = [], 0
-            for s in spans:
-                if s["kind"] == KIND_MEDIA and s["media_ref"].startswith("pdf://"):
-                    base = s["media_ref"][len("pdf://"):]
-                    for p in range(1, self._page_count(s["media_ref"]) + 1):
-                        out.append({"kind": KIND_MEDIA, "text": "",
-                                    "media_ref": f"img://{base}/page{p}",
-                                    "offset": off})
-                        off += 1
-                else:
-                    out.append({**s, "offset": off})
-                    off += 1
-            new_rows.append(out)
+        is_pdf = is_pdf_arr.to_numpy(zero_copy_only=False)
+        n_vals = len(values)
+        counts = np.ones(n_vals, np.int64)
+        pdf_idx = np.nonzero(is_pdf)[0]
+        pdf_refs = refs.take(pa.array(pdf_idx)).to_pylist()
+        new_refs: List[str] = []
+        for j, ref in zip(pdf_idx, pdf_refs):
+            base = ref[len("pdf://"):]
+            n_pages = self._page_count(ref)
+            counts[j] = n_pages
+            new_refs.extend(f"img://{base}/page{p}"
+                            for p in range(1, n_pages + 1))
+        rep_idx = np.repeat(np.arange(n_vals, dtype=np.int64), counts)
+        is_new = np.repeat(is_pdf, counts)
+        new_seq = np.cumsum(is_new) - 1          # position in new_refs
+        # field pools: [originals..., generated...] indexed per final span
+        ref_pool = pa.concat_arrays([refs.combine_chunks() if isinstance(refs, pa.ChunkedArray) else refs,
+                                     pa.array(new_refs, refs.type)])
+        ref_take = np.where(is_new, n_vals + new_seq, rep_idx)
+        text = values.field("text")
+        text_pool = pa.concat_arrays([text, pa.array([""], text.type)])
+        text_take = np.where(is_new, n_vals, rep_idx)  # pages get text=""
+        lens = pc.fill_null(spans_col.value_lengths(), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens)))
+        # per-row expansion: new row length = sum of counts in the row
+        ccum = np.concatenate(([0], np.cumsum(counts)))
+        new_lens = ccum[starts[1:]] - ccum[starts[:-1]]
+        new_starts = np.concatenate(([0], np.cumsum(new_lens)))
+        # sequential per-row offsets, vectorized
+        new_off = (np.arange(int(new_starts[-1]), dtype=np.int64)
+                   - np.repeat(new_starts[:-1], new_lens))
+        built = {
+            "kind": values.field("kind").take(pa.array(rep_idx)),
+            "text": text_pool.take(pa.array(text_take)),
+            "media_ref": ref_pool.take(pa.array(ref_take)),
+            "offset": pa.array(new_off).cast(values.field("offset").type),
+        }
+        new_values = pa.StructArray.from_arrays(
+            [built[f.name] for f in values.type], fields=list(values.type))
+        new_col = pa.ListArray.from_arrays(
+            pa.array(new_starts, pa.int32()), new_values)
         out_t = batch.drop_columns(["spans"])
-        return out_t.append_column("spans", pa.array(new_rows, type=spans_col.type))
+        return out_t.append_column("spans", new_col.cast(spans_col.type))
 
 
 class OcrStage:
@@ -203,40 +234,77 @@ class OcrStage:
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Arrow-native append: only MEDIA spans (and the OCR engine
+        call itself, inherently Python) leave Arrow. Existing word
+        spans are re-emitted via a zero-copy-ish ``take`` permutation;
+        the new word spans are built as one flat struct block and
+        spliced after each row's originals."""
         import pyarrow.compute as pc
         spans_col = batch["spans"].combine_chunks() if isinstance(batch["spans"], pa.ChunkedArray) else batch["spans"]
+        values = spans_col.flatten()
         # vectorized fast path: batches with no media rows pass through
         # untouched (most of an interleaved corpus is text-only)
-        kinds = spans_col.flatten().field("kind")
-        if pc.sum(pc.cast(pc.equal(kinds, KIND_MEDIA), pa.int64())).as_py() in (0, None):
+        media_arr = pc.equal(values.field("kind"), KIND_MEDIA)
+        if pc.sum(pc.cast(media_arr, pa.int64())).as_py() in (0, None):
             return batch
-        rows = spans_col.to_pylist()
+        n_rows = len(spans_col)
+        lens = pc.fill_null(spans_col.value_lengths(), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens)))
+        offs_np = values.field("offset").to_numpy(zero_copy_only=False).astype(np.int64)
+        media_idx = np.nonzero(media_arr.to_numpy(zero_copy_only=False))[0]
+        media_refs = values.field("media_ref").take(pa.array(media_idx)).to_pylist()
+        media_row = np.searchsorted(starts, media_idx, side="right") - 1
         # skew-guard shard rows carry media_base = number of media spans
         # in EARLIER shards of the same doc: page numbers stay GLOBAL to
         # the document across the split
         if "media_base" in batch.column_names:
-            bases = batch["media_base"].to_pylist()
+            bases = pc.fill_null(batch["media_base"], 0).to_numpy(
+                zero_copy_only=False).astype(np.int64)
         else:
-            bases = [0] * len(rows)
-        new_rows = []
-        for spans, base in zip(rows, bases):
-            spans = spans or []
-            media = [s for s in spans if s["kind"] == KIND_MEDIA]
-            if not media:
-                new_rows.append(spans)
-                continue
-            off = max((s["offset"] for s in spans), default=-1) + 1
-            extra = []
-            # enumerate, not .index(): duplicate media refs must still get
-            # DISTINCT pages (and .index is O(m^2))
-            for page, m in enumerate(media, start=1 + (base or 0)):
-                for text, x1, y1, x2, y2 in self._ocr_one(m["media_ref"]):
-                    extra.append({
-                        "kind": KIND_WORD, "text": text,
-                        "media_ref": encode_bbox_ref(page, x1, y1, x2, y2),
-                        "offset": off,
-                    })
-                    off += 1
-            new_rows.append(spans + extra)
+            bases = np.zeros(n_rows, np.int64)
+        ex_text: List[str] = []
+        ex_ref: List[str] = []
+        ex_off: List[int] = []
+        row_extra = np.zeros(n_rows, np.int64)
+        cur_row, page, off = -1, 0, 0
+        for r, ref in zip(media_row, media_refs):
+            if r != cur_row:
+                cur_row, page = int(r), int(bases[r])
+                off = (int(offs_np[starts[r]:starts[r + 1]].max()) + 1
+                       if lens[r] else 0)
+            page += 1
+            for text, x1, y1, x2, y2 in self._ocr_one(ref):
+                ex_text.append(text)
+                ex_ref.append(encode_bbox_ref(page, x1, y1, x2, y2))
+                ex_off.append(off)
+                off += 1
+                row_extra[r] += 1
+        n_vals, n_extra = len(values), len(ex_text)
+        built = {
+            "kind": pa.nulls(n_extra, values.field("kind").type).fill_null(KIND_WORD),
+            "text": pa.array(ex_text, values.field("text").type),
+            "media_ref": pa.array(ex_ref, values.field("media_ref").type),
+            "offset": pa.array(ex_off).cast(values.field("offset").type),
+        }
+        extras = pa.StructArray.from_arrays(
+            [built[f.name] for f in values.type], fields=list(values.type))
+        combined = pa.concat_arrays([values, extras])
+        # splice: row originals, then that row's extras
+        ex_starts = np.concatenate(([0], np.cumsum(row_extra)))
+        idx = np.empty(n_vals + n_extra, np.int64)
+        pos = 0
+        for r in range(n_rows):
+            no, ne = int(lens[r]), int(row_extra[r])
+            idx[pos:pos + no] = np.arange(starts[r], starts[r] + no)
+            pos += no
+            if ne:
+                idx[pos:pos + ne] = n_vals + np.arange(ex_starts[r],
+                                                       ex_starts[r] + ne)
+                pos += ne
+        new_values = combined.take(pa.array(idx))
+        new_starts = np.concatenate(([0], np.cumsum(lens + row_extra)))
+        new_col = pa.ListArray.from_arrays(
+            pa.array(new_starts, pa.int32()), new_values)
         out = batch.drop_columns(["spans"])
-        return out.append_column("spans", pa.array(new_rows, type=spans_col.type))
+        return out.append_column("spans", new_col.cast(spans_col.type))

@@ -5,7 +5,8 @@ serialized sketch per batch and merge them in a second, tiny stage"):
 
 - :func:`exact_vocab_size` — exact distinct tokens: per-batch LOCAL
   dedup first (shrinks the shuffle to unique-per-batch tokens), then a
-  global ``unique`` count.
+  groupby-distinct counted by row-count metadata (driver never sees a
+  token value).
 - :class:`HyperLogLog` — classic HLL (Flajolet et al., public
   algorithm) with the standard bias corrections; one sketch per batch,
   merged on the driver (register-wise max — associative, so a tree
@@ -101,14 +102,17 @@ def hll_vocab_sketch(ds, column: str = "text", p: int = 12):
 
 def exact_vocab_size(ds, column: str = "text") -> int:
     """Exact distinct whitespace tokens: per-batch local dedup, then a
-    global distinct over the (much smaller) per-batch-unique stream."""
+    distributed groupby-distinct whose ROW COUNT (not values) is the
+    answer — no token ever reaches the driver; ``Dataset.count()``
+    sums block metadata only. The groupby shuffle is bounded by the
+    per-batch-unique stream, not the raw token stream."""
     def uniq_batch(t: pa.Table) -> pa.Table:
         trimmed = pc.utf8_trim_whitespace(t[column])
         words = pc.split_pattern_regex(trimmed, r"\s+").combine_chunks()
         return pa.table({"token": pc.unique(words.flatten())})
 
     tokens = ds.map_batches(uniq_batch, batch_format="pyarrow")
-    return len(tokens.unique("token"))
+    return int(tokens.groupby("token").count().count())
 
 
 class CountMinSketch:

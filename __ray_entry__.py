@@ -166,6 +166,18 @@ def _train_classifier(sf_dir: str):
         stats and stats.get("doc_ids_unique"))))
 
 
+def _finetune_layoutlm(sf_dir: str):
+    """A5-real (train_layoutlm.py:212-321) through the torch-optional
+    hook: in this container torch is absent, so the call exercises the
+    probe + linear fallback (functions/finetune.py) — same schema as a
+    torch host, with a ``backend`` marker column."""
+    from ocr_table_extractor_to_csv_ray.functions.finetune import finetune_layoutlm
+    from ocr_table_extractor_to_csv_ray.pipelines.databuild import build_dataset
+    ds, stats = _corpus(sf_dir, with_stats=True)
+    return finetune_layoutlm(build_dataset(ds, ids_known_unique=bool(
+        stats and stats.get("doc_ids_unique"))))
+
+
 def _token_accuracy(sf_dir: str):
     """AG7 (train_layoutlm.py:167-183) as a streaming corpus metric:
     teacher-labeled examples → gold ids (col_id −1 masked as −100, the
@@ -788,6 +800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_builder": _dataset_builder,
         "token_accuracy": _token_accuracy,
         "train_classifier": _train_classifier,
+        "finetune_layoutlm": _finetune_layoutlm,
         "eval_generic_vs_dynamic": _eval_generic_vs_dynamic,
         "ocr_expand": _ocr_expand,
         "hocr_parse_extract": _hocr_parse_extract,
@@ -975,6 +988,15 @@ def oracle_sql() -> dict[str, str]:
         "train_classifier": _expected_sql(
             "train_classifier",
             "n_examples, n_tokens, initial_loss, final_loss, token_accuracy"),
+        # torch-optional hook: in-container it MUST take the linear
+        # fallback, so the expected row is train_classifier's plus the
+        # backend marker — on a torch host this query is not
+        # SQL-checkable (model forward), which is exactly the probe
+        # contract under test here
+        "finetune_layoutlm": _expected_sql(
+            "train_classifier",
+            "'linear-fallback' AS backend, n_examples, n_tokens, "
+            "initial_loss, final_loss, token_accuracy"),
         "top_terms": r"""
             SELECT token, count(*) AS n,
                    row_number() OVER (ORDER BY count(*) DESC, token) AS rank

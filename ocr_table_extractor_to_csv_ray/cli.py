@@ -127,6 +127,26 @@ def cmd_evaluate(args) -> None:
                                         "total_cells")}))
 
 
+def cmd_finetune(args) -> None:
+    """Reference entry point 4 (train_layoutlm.py::main): corpus →
+    teacher-labeled examples → LayoutLMv3 fine-tune (torch hosts) or
+    the linear-classifier fallback (this container)."""
+    _ensure_ray()
+    from .functions.finetune import finetune_layoutlm
+    from .pipelines.databuild import build_dataset
+    ds = _read_corpus(args.input)
+    out = finetune_layoutlm(
+        build_dataset(ds), model_id=args.model_id, n_rounds=args.num_epochs,
+        lr=args.learning_rate, eval_ratio=args.eval_ratio, seed=args.seed,
+        max_seq_length=args.max_seq_length, output_dir=args.output_dir)
+    row = {k: (v.item() if hasattr(v, "item") else v)
+           for k, v in out.iloc[0].items()}
+    if args.metrics_json:
+        with open(args.metrics_json, "w") as fh:
+            json.dump(row, fh, indent=2)
+    print(json.dumps(row))
+
+
 def cmd_csv_export(args) -> None:
     _ensure_ray()
     import ray.data as rd
@@ -167,6 +187,19 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("reference"); v.add_argument("predicted")
     v.add_argument("--report"); v.add_argument("--json-report")
     v.set_defaults(fn=cmd_evaluate)
+
+    f = sub.add_parser("finetune",
+                       help="corpus → LayoutLMv3 fine-tune (torch-optional)")
+    f.add_argument("input")
+    f.add_argument("--output-dir", help="checkpoint dir (torch hosts only)")
+    f.add_argument("--model-id", default="microsoft/layoutlmv3-base")
+    f.add_argument("--num-epochs", type=int, default=2)
+    f.add_argument("--learning-rate", type=float, default=5e-5)
+    f.add_argument("--eval-ratio", type=float, default=0.1)
+    f.add_argument("--max-seq-length", type=int, default=512)
+    f.add_argument("--seed", type=int, default=42)
+    f.add_argument("--metrics-json")
+    f.set_defaults(fn=cmd_finetune)
 
     c = sub.add_parser("csv-export", help="extraction parquet → per-doc CSVs")
     c.add_argument("input"); c.add_argument("output")

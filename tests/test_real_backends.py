@@ -387,3 +387,194 @@ def test_frame_sample_real_pyav_branch():
         out = st(pa.table({"media_id": pa.array(["v"]),
                            "payload": pa.array([b"mp4"], pa.binary())}))
     assert out["frame_no"].to_pylist() == [0, 10, 20]
+
+
+# ---------------------------------------------------------------------------
+# finetune_layoutlm: real torch/transformers branch (reference entry
+# point 4, train_layoutlm.py:212-321) + linear fallback
+
+def _fake_finetune_modules(record):
+    """Minimal torch+transformers surface for LayoutLMTrainShard /
+    LayoutLMEvalShard: numpy-backed encodings/logits, an AdamW that
+    records steps, a model that always predicts OTHER (id 0)."""
+    from ocr_table_extractor_to_csv_ray.functions.train import LABEL2ID
+
+    class Loss:
+        def __init__(self, v):
+            self._v = v
+
+        def item(self):
+            return self._v
+
+        def backward(self):
+            record["backward"] = record.get("backward", 0) + 1
+
+    class Encoding(dict):
+        pass
+
+    class Processor:
+        @classmethod
+        def from_pretrained(cls, model_id, apply_ocr=True):
+            assert apply_ocr is False
+            return cls()
+
+        def __call__(self, image, words, boxes=None, word_labels=None,
+                     truncation=None, padding=None, max_length=None,
+                     return_tensors=None):
+            assert truncation is True and padding == "max_length"
+            assert len(words) == len(boxes) == len(word_labels)
+            # CLS/SEP-style -100 wrapping, one subtoken per word
+            labels = np.array([[-100] + list(word_labels) + [-100]])
+            return Encoding(input_ids=np.zeros((1, labels.shape[1])),
+                            labels=labels)
+
+    class Outputs:
+        def __init__(self, logits, loss):
+            self.logits = logits
+            self.loss = Loss(loss)
+
+    class Model:
+        def __init__(self):
+            self._w = np.array([1.0, 2.0])
+
+        @classmethod
+        def from_pretrained(cls, model_id, num_labels=None,
+                            id2label=None, label2id=None):
+            assert num_labels == len(LABEL2ID)
+            record["num_labels"] = num_labels
+            return cls()
+
+        def parameters(self):
+            return [self._w]
+
+        def state_dict(self):
+            return {"w": self._w,
+                    "steps": np.array([record.get("step", 0)], np.int64)}
+
+        def load_state_dict(self, sd):
+            record["loaded"] = {k: np.asarray(v) for k, v in sd.items()}
+
+        def train(self):
+            record["mode"] = "train"
+
+        def eval(self):
+            record["mode"] = "eval"
+
+        def __call__(self, **enc):
+            labels = enc["labels"]
+            logits = np.zeros(labels.shape + (record["num_labels"],))
+            logits[..., 0] = 1.0          # always predict OTHER
+            return Outputs(logits, 0.5)
+
+    tmod = types.ModuleType("transformers")
+    tmod.LayoutLMv3Processor = Processor
+    tmod.LayoutLMv3ForTokenClassification = Model
+
+    class AdamW:
+        def __init__(self, params, lr=None):
+            record["lr"] = lr
+
+        def step(self):
+            record["step"] = record.get("step", 0) + 1
+
+        def zero_grad(self):
+            pass
+
+    torch_mod = types.ModuleType("torch")
+    torch_mod.no_grad = contextlib.nullcontext
+    torch_mod.as_tensor = np.asarray
+    torch_mod.optim = types.SimpleNamespace(AdamW=AdamW)
+    return tmod, torch_mod
+
+
+def _examples_batch():
+    return pa.table({
+        "doc_id": pa.array(["d1", "d2"]),
+        "words": pa.array([["Caja", "100"], ["Total"]],
+                          pa.list_(pa.string())),
+        "bboxes": pa.array([[[0, 0, 10, 10], [20, 0, 30, 10]],
+                            [[0, 20, 10, 30]]],
+                           pa.list_(pa.list_(pa.int64()))),
+        "labels": pa.array([["HEADER_COL_0", "BODY_COL_0"], ["OTHER"]],
+                           pa.list_(pa.string())),
+    })
+
+
+def test_finetune_train_shard_real_branch_schema():
+    from ocr_table_extractor_to_csv_ray.functions.finetune import (
+        LayoutLMTrainShard, bytes_to_state)
+
+    record = {}
+    tmod, torch_mod = _fake_finetune_modules(record)
+    with fake_modules(transformers=tmod, torch=torch_mod):
+        shard = LayoutLMTrainShard(image_loader=lambda d: "IMG",
+                                   lr=3e-5, local_epochs=2)
+        out = shard(_examples_batch())
+    assert out.column_names == ["state", "n_tokens", "loss_sum", "n_examples"]
+    assert out["n_examples"].to_pylist() == [2]
+    assert out["n_tokens"].to_pylist() == [3]       # -100 wraps excluded
+    # loss_sum only counts the FIRST local epoch: 0.5*2 + 0.5*1
+    assert out["loss_sum"].to_pylist() == [1.5]
+    assert record["step"] == 4                       # 2 docs x 2 epochs
+    assert record["lr"] == 3e-5
+    state = bytes_to_state(out["state"].to_pylist()[0])
+    assert set(state) == {"w", "steps"}
+
+
+def test_finetune_eval_shard_masks_minus_100():
+    from ocr_table_extractor_to_csv_ray.functions.finetune import LayoutLMEvalShard
+
+    record = {}
+    tmod, torch_mod = _fake_finetune_modules(record)
+    with fake_modules(transformers=tmod, torch=torch_mod):
+        shard = LayoutLMEvalShard(image_loader=lambda d: "IMG")
+        out = shard(_examples_batch())
+    # model predicts OTHER everywhere; only d2's single OTHER matches
+    assert out["correct"].to_pylist() == [1]
+    assert out["n_tokens"].to_pylist() == [3]
+    assert out["loss_sum"].to_pylist() == [1.5]
+    assert record["mode"] == "eval"
+    assert "step" not in record                      # no optimizer in eval
+
+
+def test_finetune_shard_loads_broadcast_weights():
+    import ray
+    from ocr_table_extractor_to_csv_ray.functions.finetune import (
+        LayoutLMEvalShard, state_to_bytes)
+
+    record = {}
+    tmod, torch_mod = _fake_finetune_modules(record)
+    ref = ray.put(state_to_bytes({"w": np.array([9.0, 9.0]),
+                                  "steps": np.array([7], np.int64)}))
+    with fake_modules(transformers=tmod, torch=torch_mod):
+        LayoutLMEvalShard(weights_ref=ref)
+    assert np.array_equal(record["loaded"]["w"], [9.0, 9.0])
+    assert record["loaded"]["steps"].dtype == np.int64
+
+
+def test_fedavg_weighted_average_preserves_dtypes():
+    from ocr_table_extractor_to_csv_ray.functions.finetune import (
+        bytes_to_state, fedavg, state_to_bytes)
+
+    a = state_to_bytes({"w": np.array([0.0, 4.0]),
+                        "ids": np.array([1, 2], np.int64)})
+    b = state_to_bytes({"w": np.array([2.0, 0.0]),
+                        "ids": np.array([1, 2], np.int64)})
+    avg = bytes_to_state(fedavg([a, b], [1, 3]))
+    assert np.allclose(avg["w"], [1.5, 1.0])         # 0.25/0.75 weighting
+    assert avg["ids"].dtype == np.int64 and avg["ids"].tolist() == [1, 2]
+
+
+def test_finetune_falls_back_without_torch(ray_session):
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.finetune import (
+        finetune_layoutlm, probe_backend)
+
+    assert probe_backend() == "linear-fallback"      # container has no torch
+    t = _examples_batch().append_column("error", pa.array(["", ""]))
+    out = finetune_layoutlm(rd.from_arrow(t), n_rounds=1)
+    assert list(out.columns) == ["backend", "n_examples", "n_tokens",
+                                 "initial_loss", "final_loss",
+                                 "token_accuracy"]
+    assert out["backend"][0] == "linear-fallback"
+    assert out["n_examples"][0] == 2 and out["n_tokens"][0] == 3

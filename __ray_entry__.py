@@ -426,6 +426,64 @@ def _rolling_fingerprint(sf_dir: str):
             .map_batches(first_hash, batch_format="pyarrow"))
 
 
+def _pii_scrub(sf_dir: str):
+    """PII redaction over documents: deterministic PII injection
+    (mirrored literally in the SQL oracle) followed by the vectorized
+    RE2 scrub — counts on original text, sequential redaction
+    email → IPv4 → phone (functions/pii.py)."""
+    import pyarrow.compute as pc
+    from ocr_table_extractor_to_csv_ray.functions.pii import scrub_pii
+
+    def inject(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        text = pc.fill_null(t["text"], "")
+        s = lambda a: pa.array(a.astype(str))
+        p4 = pa.array(np.char.zfill((ids % 10000).astype(str), 4))
+        out = pc.binary_join_element_wise(
+            text, " Contact u", s(ids), "@mail", s(ids % 7),
+            ".com or ", s(10 + ids % 90), ".", s(ids % 256), ".",
+            s((ids * 7) % 256), ".", s(ids % 100),
+            " or +1 555 ", s(ids % 900 + 100), " ", p4, "")
+        return pa.table({"doc_id": t["doc_id"], "text": out})
+
+    ds = (_docs(sf_dir).select_columns(["doc_id", "text"])
+          .map_batches(inject, batch_format="pyarrow"))
+    return scrub_pii(ds)
+
+
+def _dedup_lines(sf_dir: str):
+    """Corpus-wide duplicate-line removal (C4/Lee-et-al-style substring
+    dedup at line granularity): docs are deterministically wrapped with
+    shared boilerplate lines (nav header repeated in EVERY doc, one of
+    20 footer variants, a short tail that bypasses dedup), then every
+    non-first occurrence of a long line across the corpus is dropped and
+    docs are rebuilt (functions/dedup.py::duplicate_line_removal)."""
+    import pyarrow.compute as pc
+    from ocr_table_extractor_to_csv_ray.functions.dedup import duplicate_line_removal
+
+    def inject(t: pa.Table) -> pa.Table:
+        sec = pa.array((t["doc_id"].to_numpy() % 20).astype(str))
+        text = pc.fill_null(t["text"], "")
+        footer = pc.binary_join_element_wise(
+            "SECTION ", sec, " COMMON FOOTER BOILERPLATE", "")
+        joined = pc.binary_join_element_wise(
+            "NAVIGATION MENU HOME ABOUT CONTACT", text, footer, "tail", "\n")
+        return pa.table({"doc_id": t["doc_id"], "text": joined})
+
+    ds = (_docs(sf_dir).select_columns(["doc_id", "text"])
+          .map_batches(inject, batch_format="pyarrow"))
+    return duplicate_line_removal(ds)
+
+
+def _lang_temperature_sample(sf_dir: str):
+    """α=0.5 temperature rebalancing of the language mixture: global
+    per-lang counts → keep-rate sqrt(n_min/n) → content-hash filter
+    (functions/sampling.py::temperature_sample — bit-exact vs the SQL
+    oracle because sqrt/floor are correctly rounded IEEE both sides)."""
+    from ocr_table_extractor_to_csv_ray.functions.sampling import temperature_sample
+    return temperature_sample(_docs(sf_dir).select_columns(["doc_id", "lang"]))
+
+
 def _stratified_sample(sf_dir: str):
     """Content-hash stratified sample: 50% en, 25% es/fr, 10% rest."""
     from ocr_table_extractor_to_csv_ray.functions.sampling import stratified_sample
@@ -821,8 +879,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": _quality,
         "fingerprint_md5": _fingerprint,
         "fingerprint_rolling": _rolling_fingerprint,
+        # PII / substring-level dedup
+        "pii_scrub": _pii_scrub,
+        "dedup_lines": _dedup_lines,
         # sampling / per-group selection
         "stratified_sample": _stratified_sample,
+        "lang_temperature_sample": _lang_temperature_sample,
         "topk_docs_per_lang": _topk_docs_per_lang,
         # distinct counts / sketches
         "vocab_size": _vocab_size,
@@ -931,6 +993,79 @@ def _quality_oracle_sql() -> str:
                * (1.0 - 0.5*repetition_ratio) AS quality_score
         FROM f
     """
+
+
+def _pii_oracle_sql() -> str:
+    """SQL mirror of functions/pii.py: same RE2 patterns (imported from
+    the source of truth), same injection, counts on original text,
+    sequential redaction in PII_RULES order."""
+    from ocr_table_extractor_to_csv_ray.functions.pii import PII_RULES
+
+    clean = "text"
+    for pat, token in PII_RULES:
+        clean = f"regexp_replace({clean}, '{pat}', '{token}', 'g')"
+    counts = ",\n               ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS {name}"
+        for (pat, _), name in zip(PII_RULES, ("n_emails", "n_ipv4", "n_phones")))
+    return f"""
+        WITH inj AS (
+          SELECT doc_id,
+                 text || ' Contact u' || CAST(doc_id AS VARCHAR)
+                 || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.com or ' || CAST(10 + doc_id % 90 AS VARCHAR)
+                 || '.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                 || '.' || CAST(doc_id % 100 AS VARCHAR)
+                 || ' or +1 555 ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                 || ' ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+          FROM documents)
+        SELECT doc_id,
+               {counts},
+               {clean} AS text_clean
+        FROM inj
+    """
+
+
+_DEDUP_LINES_SQL = """
+    WITH inj AS (
+      SELECT doc_id,
+             'NAVIGATION MENU HOME ABOUT CONTACT' || chr(10) || text
+             || chr(10) || 'SECTION ' || CAST(doc_id % 20 AS VARCHAR)
+             || ' COMMON FOOTER BOILERPLATE' || chr(10) || 'tail' AS text
+      FROM documents),
+    l AS (
+      SELECT doc_id, generate_subscripts(ls, 1) AS idx, unnest(ls) AS line
+      FROM (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+            FROM inj)),
+    f AS (
+      SELECT doc_id, idx, line,
+             (length(line) < 10 OR
+              row_number() OVER (PARTITION BY line
+                                 ORDER BY doc_id, idx) = 1) AS keep
+      FROM l)
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN keep THEN line END,
+                               chr(10) ORDER BY idx), '') AS text_clean,
+           count(*) AS n_lines,
+           CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped
+    FROM f GROUP BY doc_id
+"""
+
+
+_LANG_TEMPERATURE_SQL = """
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT min(n) AS nmin FROM c),
+    thr AS (SELECT c.lang,
+                   CASE WHEN c.n = m.nmin THEN 'g'
+                        ELSE printf('%08x', CAST(floor(
+                             sqrt(CAST(m.nmin AS DOUBLE) / CAST(c.n AS DOUBLE))
+                             * 4294967296.0) AS BIGINT)) END AS t
+            FROM c, m)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN thr ON d.lang = thr.lang
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.t
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1078,6 +1213,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
         """,
+        "pii_scrub": _pii_oracle_sql(),
+        "dedup_lines": _DEDUP_LINES_SQL,
+        "lang_temperature_sample": _LANG_TEMPERATURE_SQL,
         "stratified_sample": """
             SELECT doc_id, lang FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <

@@ -5,6 +5,9 @@
   every run, any cluster size, any partitioning — and the rule is
   reproducible in SQL (``substr(md5(key), 1, 8) < threshold``), so the
   sample itself is oracle-checkable. No shuffle: a vectorized filter.
+- :func:`temperature_sample` — stratum keep-rates derived from GLOBAL
+  stratum counts (``(n_min/n)**alpha``), then the same content-hash
+  filter: tiny groupby → broadcast rates → streaming filter.
 - :func:`topk_per_group` — k rows per group by a sort column
   (ties broken by id): partition by group key, sort within group.
 """
@@ -61,6 +64,39 @@ def stratified_sample(ds, rates: Dict[str, float], stratum_column: str = "lang",
         return t.filter(pa.array(prefixes < thr))
 
     return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def temperature_sample(ds, stratum_column: str = "lang",
+                       id_column: str = "doc_id", alpha: float = 0.5):
+    """Temperature-based stratum rebalancing (the multilingual-corpus
+    flattening rule, α<1 upsamples the tail): keep-rate per stratum is
+    ``(n_min / n_stratum) ** alpha`` — the rarest stratum keeps 100%,
+    bigger strata are downsampled toward a flat mixture.
+
+    Two-phase, shuffle-light: phase 1 is a tiny ``groupby(stratum)``
+    count (output = one row per stratum — the ONLY driver collect, group
+    cardinality ≈ dozens at any corpus size); phase 2 broadcasts the
+    rate table into the same vectorized content-hash filter as
+    :func:`stratified_sample` (no shuffle, no RNG — reproducible and
+    SQL-oracle-checkable).
+
+    For ``alpha=0.5`` rates are computed with ``math.sqrt`` (correctly
+    rounded IEEE, so DuckDB's ``sqrt`` reproduces them bit-exactly and
+    the driver's hash gate can check the sample); other alphas go
+    through ``pow`` whose last-ulp behavior is libm-specific —
+    documented as rows-only-checkable."""
+    import math
+    from ray.data.aggregate import Count
+
+    counts = (ds.groupby(stratum_column)
+              .aggregate(Count(alias_name="n")).to_pandas())
+    n_min = int(counts["n"].min())
+    rates = {}
+    for s, n in zip(counts[stratum_column], counts["n"]):
+        frac = n_min / int(n)
+        rates[s] = math.sqrt(frac) if alpha == 0.5 else frac ** alpha
+    return stratified_sample(ds, rates, stratum_column=stratum_column,
+                             id_column=id_column, default_rate=0.0)
 
 
 def topk_per_group(ds, group_column: str, sort_column: str, k: int = 3,

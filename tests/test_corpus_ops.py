@@ -1,0 +1,171 @@
+"""Unit tests for the round-3 corpus operators: PII scrub,
+corpus-wide duplicate-line removal, temperature resampling."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ocr_table_extractor_to_csv_ray.functions.dedup import duplicate_line_removal
+from ocr_table_extractor_to_csv_ray.functions.pii import (
+    EMAIL_TOKEN, IPV4_TOKEN, PHONE_TOKEN, pii_scrub_batch, scrub_pii)
+from ocr_table_extractor_to_csv_ray.functions.sampling import (
+    rate_to_threshold, temperature_sample)
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+
+def test_pii_batch_counts_and_redaction():
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "mail a.b+c@ex-1.co and x@y.io plus ip 10.0.0.1",
+            "call +44 123 456 7890 now",
+            "clean text with no pii at all",
+            None,
+        ]),
+    })
+    out = pii_scrub_batch(t)
+    assert out["n_emails"].to_pylist() == [2, 0, 0, None]
+    assert out["n_ipv4"].to_pylist() == [1, 0, 0, None]
+    assert out["n_phones"].to_pylist() == [0, 1, 0, None]
+    clean = out["text_clean"].to_pylist()
+    assert clean[0] == f"mail {EMAIL_TOKEN} and {EMAIL_TOKEN} plus ip {IPV4_TOKEN}"
+    assert clean[1] == f"call {PHONE_TOKEN} now"
+    assert clean[2] == "clean text with no pii at all"
+    assert clean[3] is None
+    assert out["n_emails"].type == pa.int64()
+
+
+def test_pii_sequential_order_email_wins_over_ip():
+    # the digits-only local part + dotted host would ALSO match IPv4;
+    # email is redacted first so the IP pass sees no digits left.
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array(["u@1.2.3.44 tail"])})
+    out = pii_scrub_batch(t)
+    # email regex requires an alpha TLD, so here the address does NOT
+    # match as email but its dotted quad DOES match as IPv4
+    assert out["text_clean"].to_pylist() == [f"u@{IPV4_TOKEN} tail"]
+    assert out["n_emails"].to_pylist() == [0]
+    assert out["n_ipv4"].to_pylist() == [1]
+
+
+def test_pii_dataset_streams(ray_session):
+    import ray.data as rd
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "text": pa.array([f"u{i}@a.com" if i % 2 else "none" for i in range(100)]),
+    }))
+    out = scrub_pii(ds).to_pandas()
+    assert len(out) == 100
+    assert int(out["n_emails"].sum()) == 50
+
+
+# ---------------------------------------------------------------------------
+# duplicate-line removal
+
+def _line_dedup_ref(docs: dict[int, str], min_chars: int = 10) -> dict:
+    """Sequential spec: first global occurrence (doc_id, idx) of each
+    long line survives; short lines always survive."""
+    seen: set[str] = set()
+    out = {}
+    for doc_id in sorted(docs):
+        kept, dropped = [], 0
+        for line in docs[doc_id].split("\n"):
+            if len(line) < min_chars:
+                kept.append(line)
+            elif line not in seen:
+                seen.add(line)
+                kept.append(line)
+            else:
+                dropped += 1
+        out[doc_id] = ("\n".join(kept), len(docs[doc_id].split("\n")), dropped)
+    return out
+
+
+def test_duplicate_line_removal_matches_sequential_spec(ray_session):
+    import ray.data as rd
+    docs = {
+        0: "SHARED HEADER LINE\nunique zero body line\n--\ntail",
+        1: "SHARED HEADER LINE\nunique one body line\n--",
+        2: "unique two body line\nSHARED HEADER LINE\nunique two body line",
+        3: "",
+        4: "short\nshort",
+    }
+    ref = _line_dedup_ref(docs)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(docs), pa.int64()),
+        "text": pa.array([docs[k] for k in sorted(docs)]),
+    }))
+    got = duplicate_line_removal(ds).to_pandas().set_index("doc_id")
+    assert len(got) == len(docs)
+    for doc_id, (clean, n_lines, n_dropped) in ref.items():
+        row = got.loc[doc_id]
+        assert row["text_clean"] == clean, doc_id
+        assert row["n_lines"] == n_lines
+        assert row["n_dropped"] == n_dropped
+
+
+def test_duplicate_line_removal_partition_invariant(ray_session):
+    import ray.data as rd
+    rng = np.random.RandomState(11)
+    lines_pool = [f"duplicated corpus line number {i}" for i in range(10)]
+    docs = {}
+    for d in range(60):
+        n = rng.randint(1, 6)
+        docs[d] = "\n".join(
+            lines_pool[rng.randint(len(lines_pool))] if rng.rand() < 0.7
+            else f"unique line {d}-{j} with padding" for j in range(n))
+    t = pa.table({"doc_id": pa.array(sorted(docs), pa.int64()),
+                  "text": pa.array([docs[k] for k in sorted(docs)])})
+    a = (duplicate_line_removal(rd.from_arrow(t))
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (duplicate_line_removal(rd.from_arrow(t).repartition(13))
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    ref = _line_dedup_ref(docs)
+    for doc_id, (clean, _, _) in ref.items():
+        assert a.loc[a["doc_id"] == doc_id, "text_clean"].iloc[0] == clean
+
+
+# ---------------------------------------------------------------------------
+# temperature sampling
+
+def test_temperature_sample_keeps_rarest_fully(ray_session):
+    import ray.data as rd
+    langs = ["en"] * 400 + ["es"] * 100 + ["fr"] * 25
+    t = pa.table({"doc_id": pa.array(range(len(langs)), pa.int64()),
+                  "lang": pa.array(langs)})
+    out = temperature_sample(rd.from_arrow(t)).to_pandas()
+    by = out.groupby("lang").size()
+    # rarest language (fr, n == n_min) keeps EVERYTHING
+    assert by.get("fr", 0) == 25
+    # en rate = sqrt(25/400) = 0.25, es rate = sqrt(25/100) = 0.5:
+    # exact expected counts via the same md5-threshold rule
+    for lang, n, rate in (("en", 400, 0.25), ("es", 100, 0.5)):
+        thr = rate_to_threshold(rate)
+        ids = [i for i, l in zip(range(len(langs)), langs) if l == lang]
+        expect = sum(hashlib.md5(str(i).encode()).hexdigest()[:8] < thr
+                     for i in ids)
+        assert by.get(lang, 0) == expect, lang
+    # determinism: identical on re-run with different partitioning
+    out2 = temperature_sample(rd.from_arrow(t).repartition(7)).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+
+
+def test_temperature_threshold_matches_sql_floor_rule():
+    # rate_to_threshold truncates toward zero on rate * 16^8 — the SQL
+    # mirror uses floor(); equality for every rate in a dense sweep
+    for n in range(1, 200):
+        rate = math.sqrt(1.0 / n)
+        py = rate_to_threshold(rate)
+        if rate >= 1.0:
+            assert py == "g"
+        else:
+            assert py == format(int(math.floor(rate * 4294967296.0)), "08x")

@@ -426,29 +426,69 @@ def _rolling_fingerprint(sf_dir: str):
             .map_batches(first_hash, batch_format="pyarrow"))
 
 
+def _inject_pii(t: pa.Table) -> pa.Table:
+    """Deterministic PII injection (email + IPv4 + phone derived from
+    doc_id), mirrored literally in the SQL oracles; passes through every
+    non-text column."""
+    import pyarrow.compute as pc
+    ids = t["doc_id"].to_numpy()
+    text = pc.fill_null(t["text"], "")
+    s = lambda a: pa.array(a.astype(str))
+    p4 = pa.array(np.char.zfill((ids % 10000).astype(str), 4))
+    out = pc.binary_join_element_wise(
+        text, " Contact u", s(ids), "@mail", s(ids % 7),
+        ".com or ", s(10 + ids % 90), ".", s(ids % 256), ".",
+        s((ids * 7) % 256), ".", s(ids % 100),
+        " or +1 555 ", s(ids % 900 + 100), " ", p4, "")
+    return t.set_column(t.column_names.index("text"), "text", out)
+
+
 def _pii_scrub(sf_dir: str):
     """PII redaction over documents: deterministic PII injection
     (mirrored literally in the SQL oracle) followed by the vectorized
     RE2 scrub — counts on original text, sequential redaction
     email → IPv4 → phone (functions/pii.py)."""
-    import pyarrow.compute as pc
     from ocr_table_extractor_to_csv_ray.functions.pii import scrub_pii
-
-    def inject(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy()
-        text = pc.fill_null(t["text"], "")
-        s = lambda a: pa.array(a.astype(str))
-        p4 = pa.array(np.char.zfill((ids % 10000).astype(str), 4))
-        out = pc.binary_join_element_wise(
-            text, " Contact u", s(ids), "@mail", s(ids % 7),
-            ".com or ", s(10 + ids % 90), ".", s(ids % 256), ".",
-            s((ids * 7) % 256), ".", s(ids % 100),
-            " or +1 555 ", s(ids % 900 + 100), " ", p4, "")
-        return pa.table({"doc_id": t["doc_id"], "text": out})
-
     ds = (_docs(sf_dir).select_columns(["doc_id", "text"])
-          .map_batches(inject, batch_format="pyarrow"))
+          .map_batches(_inject_pii, batch_format="pyarrow"))
     return scrub_pii(ds)
+
+
+def _decontam_eval(sf_dir: str):
+    """Benchmark decontamination: docs with ``doc_id % 50 == 0`` form
+    the (small, driver-loaded) eval set; every OTHER doc is flagged if
+    it shares any 5-token shingle with that set. Eval shingles broadcast
+    once via ray.put; the corpus streams shuffle-free
+    (functions/decontam.py)."""
+    import pyarrow.parquet as pq
+    from ocr_table_extractor_to_csv_ray.functions.decontam import (
+        decontaminate, eval_shingle_set)
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_numpy()
+    eval_texts = t.filter(pa.array(ids % 50 == 0))["text"].to_pylist()
+    shingles = eval_shingle_set(eval_texts, k=5)
+
+    def train_only(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(b["doc_id"].to_numpy() % 50 != 0))
+
+    train = (_docs(sf_dir).select_columns(["doc_id", "text"])
+             .map_batches(train_only, batch_format="pyarrow"))
+    out = decontaminate(train, shingles, k=5)
+    return out.select_columns(["doc_id", "contaminated", "n_hits"])
+
+
+def _corpus_prep(sf_dir: str):
+    """The composed prep pipeline (pipelines/corpus_prep.py): PII
+    inject+scrub → quality score → gate ≥ 0.5 → α=0.5 language
+    temperature sample → per-language (n_docs, total_tokens) report.
+    Every stage's determinism contract composes, so the whole chain is
+    one hash-exact SQL oracle."""
+    from ocr_table_extractor_to_csv_ray.pipelines.corpus_prep import prep_corpus
+    ds = (_docs(sf_dir).select_columns(["doc_id", "lang", "text"])
+          .map_batches(_inject_pii, batch_format="pyarrow"))
+    return prep_corpus(ds, quality_min=0.5, quality_concurrency=2)
 
 
 def _dedup_lines(sf_dir: str):
@@ -879,9 +919,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": _quality,
         "fingerprint_md5": _fingerprint,
         "fingerprint_rolling": _rolling_fingerprint,
-        # PII / substring-level dedup
+        # PII / substring-level dedup / decontamination / composed prep
         "pii_scrub": _pii_scrub,
         "dedup_lines": _dedup_lines,
+        "decontam_eval": _decontam_eval,
+        "corpus_prep": _corpus_prep,
         # sampling / per-group selection
         "stratified_sample": _stratified_sample,
         "lang_temperature_sample": _lang_temperature_sample,
@@ -961,20 +1003,24 @@ def _expected_sql(name: str, cols: str, extra: str = "") -> str:
     """
 
 
-def _quality_oracle_sql() -> str:
-    """SQL mirror of textstats.QualityStage — same token split, same
-    feature formulas, same gate product in the same association order
-    (bit-exact IEEE arithmetic both sides)."""
+def _quality_cte_sql(source: str, extra_cols: str = "") -> str:
+    """CTE chain mirroring textstats.QualityStage over ``source`` — same
+    token split, same feature formulas, same gate product in the same
+    association order (bit-exact IEEE arithmetic both sides). Emits CTEs
+    ``__qt``/``__qf``/``__q`` (``__q`` has doc_id, ``extra_cols``, the
+    five features and ``quality_score``) for composition into larger
+    oracles."""
     from ocr_table_extractor_to_csv_ray.functions.textstats import STOPWORDS
 
     stop = ", ".join(f"'{w}'" for w in sorted(STOPWORDS["en"]))
+    ec = f"{extra_cols}, " if extra_cols else ""
     return rf"""
-        WITH t AS (
-          SELECT doc_id, text,
+        __qt AS (
+          SELECT doc_id, {ec}text,
                  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
-          FROM documents),
-        f AS (
-          SELECT doc_id,
+          FROM {source}),
+        __qf AS (
+          SELECT doc_id, {ec}
                  len(toks) AS n_tokens,
                  CASE WHEN len(toks)=0 THEN 0.0
                       ELSE list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) END AS mean_token_len,
@@ -984,32 +1030,33 @@ def _quality_oracle_sql() -> str:
                       ELSE len(list_filter(list_transform(toks, x -> lower(x)), x -> x IN ({stop}))) * 1.0 / len(toks) END AS stopword_ratio,
                  CASE WHEN len(toks)=0 THEN 0.0
                       ELSE 1.0 - len(list_distinct(list_transform(toks, x -> lower(x)))) * 1.0 / len(toks) END AS repetition_ratio
-          FROM t)
+          FROM __qt),
+        __q AS (
+          SELECT doc_id, {ec}n_tokens, mean_token_len, punct_ratio,
+                 stopword_ratio, repetition_ratio,
+                 ((least(n_tokens/20.0, 1.0)
+                   * (CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0 THEN 1.0 ELSE 0.5 END))
+                  * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.3 END))
+                 * (1.0 - 0.5*repetition_ratio) AS quality_score
+          FROM __qf)"""
+
+
+def _quality_oracle_sql() -> str:
+    return f"""
+        WITH {_quality_cte_sql('documents')}
         SELECT doc_id, n_tokens, mean_token_len, punct_ratio,
-               stopword_ratio, repetition_ratio,
-               ((least(n_tokens/20.0, 1.0)
-                 * (CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0 THEN 1.0 ELSE 0.5 END))
-                * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.3 END))
-               * (1.0 - 0.5*repetition_ratio) AS quality_score
-        FROM f
+               stopword_ratio, repetition_ratio, quality_score
+        FROM __q
     """
 
 
-def _pii_oracle_sql() -> str:
-    """SQL mirror of functions/pii.py: same RE2 patterns (imported from
-    the source of truth), same injection, counts on original text,
-    sequential redaction in PII_RULES order."""
-    from ocr_table_extractor_to_csv_ray.functions.pii import PII_RULES
-
-    clean = "text"
-    for pat, token in PII_RULES:
-        clean = f"regexp_replace({clean}, '{pat}', '{token}', 'g')"
-    counts = ",\n               ".join(
-        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS {name}"
-        for (pat, _), name in zip(PII_RULES, ("n_emails", "n_ipv4", "n_phones")))
+def _pii_inject_cte(extra_cols: str = "") -> str:
+    """The ``inj`` CTE mirroring ``_inject_pii`` (same doc_id-derived
+    email / IPv4 / phone suffix)."""
+    ec = f"{extra_cols}, " if extra_cols else ""
     return f"""
-        WITH inj AS (
-          SELECT doc_id,
+        inj AS (
+          SELECT doc_id, {ec}
                  text || ' Contact u' || CAST(doc_id AS VARCHAR)
                  || '@mail' || CAST(doc_id % 7 AS VARCHAR)
                  || '.com or ' || CAST(10 + doc_id % 90 AS VARCHAR)
@@ -1018,12 +1065,87 @@ def _pii_oracle_sql() -> str:
                  || '.' || CAST(doc_id % 100 AS VARCHAR)
                  || ' or +1 555 ' || CAST(doc_id % 900 + 100 AS VARCHAR)
                  || ' ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
-          FROM documents)
+          FROM documents)"""
+
+
+def _pii_clean_expr(col: str = "text") -> str:
+    """Nested regexp_replace chain in PII_RULES order (the package's
+    pattern list is the source of truth)."""
+    from ocr_table_extractor_to_csv_ray.functions.pii import PII_RULES
+    clean = col
+    for pat, token in PII_RULES:
+        clean = f"regexp_replace({clean}, '{pat}', '{token}', 'g')"
+    return clean
+
+
+def _pii_oracle_sql() -> str:
+    """SQL mirror of functions/pii.py: same RE2 patterns (imported from
+    the source of truth), same injection, counts on original text,
+    sequential redaction in PII_RULES order."""
+    from ocr_table_extractor_to_csv_ray.functions.pii import PII_RULES
+
+    counts = ",\n               ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS {name}"
+        for (pat, _), name in zip(PII_RULES, ("n_emails", "n_ipv4", "n_phones")))
+    return f"""
+        WITH {_pii_inject_cte()}
         SELECT doc_id,
                {counts},
-               {clean} AS text_clean
+               {_pii_clean_expr()} AS text_clean
         FROM inj
     """
+
+
+def _corpus_prep_oracle_sql() -> str:
+    """The COMPOSED prep chain as one SQL statement: inject → scrub →
+    quality CTEs (shared fragment) → gate → temperature thresholds →
+    sample → per-lang report. Every fragment is the same source-of-truth
+    string its standalone oracle uses."""
+    return f"""
+        WITH {_pii_inject_cte("lang")},
+        scrub AS (SELECT doc_id, lang, {_pii_clean_expr()} AS text FROM inj),
+        {_quality_cte_sql("scrub", "lang")},
+        keep AS (SELECT doc_id, lang, n_tokens FROM __q
+                 WHERE quality_score >= 0.5),
+        c AS (SELECT lang, count(*) AS n FROM keep GROUP BY lang),
+        m AS (SELECT min(n) AS nmin FROM c),
+        thr AS (SELECT c.lang,
+                       CASE WHEN c.n = m.nmin THEN 'g'
+                            ELSE printf('%08x', CAST(floor(
+                                 sqrt(CAST(m.nmin AS DOUBLE) / CAST(c.n AS DOUBLE))
+                                 * 4294967296.0) AS BIGINT)) END AS t
+                FROM c, m),
+        samp AS (SELECT k.lang, k.n_tokens FROM keep k
+                 JOIN thr ON k.lang = thr.lang
+                 WHERE substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8) < thr.t)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM samp GROUP BY lang
+    """
+
+
+_DECONTAM_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    esh AS (
+      SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS sh
+      FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
+      WHERE doc_id % 50 = 0),
+    tsh AS (
+      SELECT doc_id, array_to_string(t[i:i+4], ' ') AS sh
+      FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
+      WHERE doc_id % 50 <> 0),
+    h AS (SELECT t.doc_id, count(*) AS n_hits
+          FROM tsh t JOIN esh e ON t.sh = e.sh GROUP BY t.doc_id)
+    SELECT d.doc_id,
+           coalesce(h.n_hits, 0) > 0 AS contaminated,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+    LEFT JOIN h ON d.doc_id = h.doc_id
+"""
 
 
 _DEDUP_LINES_SQL = """
@@ -1215,6 +1337,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_scrub": _pii_oracle_sql(),
         "dedup_lines": _DEDUP_LINES_SQL,
+        "decontam_eval": _DECONTAM_SQL,
+        "corpus_prep": _corpus_prep_oracle_sql(),
         "lang_temperature_sample": _LANG_TEMPERATURE_SQL,
         "stratified_sample": """
             SELECT doc_id, lang FROM documents

@@ -44,21 +44,20 @@ PII_RULES = (
 def pii_scrub_batch(batch: pa.Table, column: str = "text",
                     id_column: str = "doc_id") -> pa.Table:
     """One batch: per-pattern match counts (on the original text) +
-    fully redacted ``text_clean``. Null text counts 0 / redacts to null
-    (same as SQL: regexp on NULL is NULL)."""
+    fully redacted ``text_clean``. Null text counts null / redacts to
+    null (same as SQL: regexp on NULL is NULL). All OTHER input columns
+    pass through untouched, so the stage composes mid-pipeline
+    (``id_column`` is only documentation of the row key here)."""
     text = batch[column]
     counts = [pc.cast(pc.count_substring_regex(text, pat), pa.int64())
               for pat, _ in PII_RULES]
     clean = text
     for pat, token in PII_RULES:
         clean = pc.replace_substring_regex(clean, pat, token)
-    return pa.table({
-        id_column: batch[id_column],
-        "n_emails": counts[0],
-        "n_ipv4": counts[1],
-        "n_phones": counts[2],
-        "text_clean": clean,
-    })
+    out = batch.drop_columns([column])
+    for name, arr in zip(("n_emails", "n_ipv4", "n_phones"), counts):
+        out = out.append_column(name, arr)
+    return out.append_column("text_clean", clean)
 
 
 def scrub_pii(ds, column: str = "text", id_column: str = "doc_id"):

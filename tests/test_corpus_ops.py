@@ -169,3 +169,61 @@ def test_temperature_threshold_matches_sql_floor_rule():
             assert py == "g"
         else:
             assert py == format(int(math.floor(rate * 4294967296.0)), "08x")
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+
+def test_decontaminate_flags_shared_shingles(ray_session):
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.decontam import (
+        decontaminate, eval_shingle_set, text_shingles)
+
+    eval_texts = ["the quick brown fox jumps over the lazy dog"]
+    sset = eval_shingle_set(eval_texts, k=5)
+    assert "the quick brown fox jumps" in sset
+    train = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            # shares 2 windows: "the quick brown fox jumps",
+            # "quick brown fox jumps over"
+            "prefix the quick brown fox jumps over suffix",
+            "completely different content with no overlap here",
+            "quick brown fox",                 # < k tokens, no shingles
+            "the lazy dog sleeps",             # 4 tokens < k
+        ]),
+    }))
+    out = decontaminate(train, sset, k=5).to_pandas().set_index("doc_id")
+    assert bool(out.loc[1, "contaminated"]) and out.loc[1, "n_hits"] == 2
+    assert not out.loc[2:, "contaminated"].any()
+    # drop=True removes only the contaminated doc
+    kept = decontaminate(train, sset, k=5, drop=True).to_pandas()
+    assert sorted(kept["doc_id"]) == [2, 3, 4]
+    # boundary: exactly k tokens → one shingle
+    assert len(text_shingles("a b c d e", k=5)) == 1
+    assert text_shingles("a b c d", k=5) == []
+
+
+# ---------------------------------------------------------------------------
+# composed prep pipeline
+
+def test_prep_corpus_partition_invariant_and_bounded(ray_session):
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.pipelines.corpus_prep import prep_corpus
+
+    rng = np.random.RandomState(3)
+    words = ["alpha", "beta", "gamma", "delta", "the", "and", "of"]
+    n = 300
+    texts = [" ".join(words[rng.randint(len(words))]
+                      for _ in range(rng.randint(2, 60))) for _ in range(n)]
+    langs = [["en", "es", "fr"][i % 3] for i in range(n)]
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "lang": pa.array(langs), "text": pa.array(texts)})
+    a = (prep_corpus(rd.from_arrow(t), quality_concurrency=2)
+         .to_pandas().sort_values("lang").reset_index(drop=True))
+    b = (prep_corpus(rd.from_arrow(t).repartition(11), quality_concurrency=2)
+         .to_pandas().sort_values("lang").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a["lang"]) <= {"en", "es", "fr"}
+    assert (a["n_docs"] > 0).all() and (a["n_docs"] <= 100).all()
+    assert a["total_tokens"].dtype == "int64"

@@ -551,6 +551,14 @@ def _vocab_size(sf_dir: str):
                                            dtype="int64")})
 
 
+def _vocab_hll_by_lang(sf_dir: str):
+    """Per-language distinct-token HLL: the mergeable sketch as a
+    DISTRIBUTED aggregate — per-batch per-group sketches, register-max
+    merge inside groupby().map_groups (functions/sketch.py)."""
+    from ocr_table_extractor_to_csv_ray.functions.sketch import hll_vocab_by_group
+    return hll_vocab_by_group(_docs(sf_dir).select_columns(["lang", "text"]))
+
+
 def _vocab_hll(sf_dir: str):
     """HyperLogLog estimate (mergeable per-batch sketches)."""
     import pandas as pd
@@ -931,6 +939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distinct counts / sketches
         "vocab_size": _vocab_size,
         "vocab_hll": _vocab_hll,
+        "vocab_hll_by_lang": _vocab_hll_by_lang,
         # dedup
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
@@ -1240,6 +1249,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": _expected_sql("kmeans_embeddings",
                                            "vec_id, cluster"),
         "vocab_hll": _expected_sql("vocab_hll", "vocab_estimate"),
+        "vocab_hll_by_lang": _expected_sql("vocab_hll_by_lang",
+                                           "lang, vocab_estimate"),
         "extract_resumable": _expected_sql(
             "extract_resumable", "doc_count, row_count"),
         "train_classifier": _expected_sql(

@@ -237,3 +237,41 @@ def top_terms(ds, k: int = 20, column: str = "text"):
 
     return (summed.map_batches(local_topk, batch_format="pyarrow")
             .groupby("g").map_groups(final, batch_format="pandas"))
+
+
+def hll_vocab_by_group(ds, group_column: str = "lang",
+                       column: str = "text", p: int = 12):
+    """Distinct-token HLL estimate PER GROUP — the mergeable sketch as
+    a distributed aggregate. Per batch: one serialized sketch per group
+    present (groups per batch ≈ dozens); then ``groupby(group)`` merges
+    register-wise-max inside ``map_groups`` — unlike
+    :func:`hll_vocab_sketch` the merge never touches the driver, the
+    100 TB path when the group count itself is large. Register-max is
+    associative + commutative, so the estimate is block-layout
+    invariant (oracle-checkable against a sequential pass)."""
+    import pandas as pd
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        groups, sketches = [], []
+        for g in pc.unique(t[group_column]).to_pylist():
+            sub = t.filter(pc.equal(t[group_column], g))
+            h = HyperLogLog(p)
+            h.add_hashes(_batch_token_hashes(sub, column))
+            groups.append(g)
+            sketches.append(h.to_bytes())
+        return pa.table({group_column: pa.array(groups),
+                         "sketch": pa.array(sketches, pa.binary())})
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        merged = HyperLogLog(p)
+        for blob in g["sketch"]:
+            merged = merged.merge(HyperLogLog.from_bytes(bytes(blob), p))
+        return pd.DataFrame({
+            group_column: [g[group_column].iloc[0]],
+            "vocab_estimate": pd.array([round(merged.cardinality())],
+                                       dtype="int64"),
+        })
+
+    return (ds.map_batches(sketch_batch, batch_format="pyarrow")
+            .groupby(group_column)
+            .map_groups(merge_group, batch_format="pandas"))

@@ -227,3 +227,33 @@ def test_prep_corpus_partition_invariant_and_bounded(ray_session):
     assert set(a["lang"]) <= {"en", "es", "fr"}
     assert (a["n_docs"] > 0).all() and (a["n_docs"] <= 100).all()
     assert a["total_tokens"].dtype == "int64"
+
+
+# ---------------------------------------------------------------------------
+# grouped HLL
+
+def test_hll_by_group_matches_per_group_global_sketch(ray_session):
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.sketch import (
+        hll_vocab_by_group, hll_vocab_sketch)
+
+    rng = np.random.RandomState(5)
+    vocab = [f"tok{i}" for i in range(400)]
+    langs, texts = [], []
+    for i in range(200):
+        lang = ["en", "es", "fr"][i % 3]
+        langs.append(lang)
+        texts.append(" ".join(vocab[rng.randint(len(vocab))]
+                              for _ in range(30)))
+    t = pa.table({"lang": pa.array(langs), "text": pa.array(texts)})
+    got = (hll_vocab_by_group(rd.from_arrow(t).repartition(9))
+           .to_pandas().set_index("lang")["vocab_estimate"])
+    for lang in ("en", "es", "fr"):
+        sub = t.filter(pa.compute.equal(t["lang"], lang))
+        est, _ = hll_vocab_sketch(rd.from_arrow(sub))
+        # register-max merging is order independent → exact equality
+        assert int(got[lang]) == round(est), lang
+        # and the estimate is within HLL's error envelope of the truth
+        truth = len({w for tx in sub["text"].to_pylist()
+                     for w in tx.split()})
+        assert abs(got[lang] - truth) / truth < 0.1

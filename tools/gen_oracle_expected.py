@@ -424,16 +424,11 @@ def expected_kmeans(sf_dir: str, k: int = 8, n_iters: int = 5) -> pd.DataFrame:
     return df
 
 
-def expected_vocab_hll(sf_dir: str, p: int = 12) -> pd.DataFrame:
-    """HLL (Flajolet et al., standard bias/linear-counting corrections)
-    over the corpus token set. Register-wise max makes the per-batch
-    merge order irrelevant, so one sequential pass is the exact
-    expected value of the engine's mergeable-sketch pipeline."""
-    import re as _re
-    _, texts = _load_docs(sf_dir)
-    tokens = set()
-    for tx in texts:
-        tokens.update(_re.split(r"\s+", (tx or "").strip()))
+def _hll_seq_estimate(tokens, p: int = 12) -> int:
+    """Sequential HLL (Flajolet et al., standard bias/linear-counting
+    corrections) over a token set — the exact expected value of the
+    engine's mergeable-sketch pipelines (register-wise max makes merge
+    order irrelevant)."""
     m = 1 << p
     regs = np.zeros(m, np.uint8)
     for tok in tokens:
@@ -450,8 +445,35 @@ def expected_vocab_hll(sf_dir: str, p: int = 12) -> pd.DataFrame:
         zeros = int((regs == 0).sum())
         if zeros:
             est = m * np.log(m / zeros)
-    return pd.DataFrame({"vocab_estimate": pd.array([round(float(est))],
-                                                    dtype="int64")})
+    return round(float(est))
+
+
+def expected_vocab_hll(sf_dir: str, p: int = 12) -> pd.DataFrame:
+    import re as _re
+    _, texts = _load_docs(sf_dir)
+    tokens = set()
+    for tx in texts:
+        tokens.update(_re.split(r"\s+", (tx or "").strip()))
+    return pd.DataFrame({"vocab_estimate": pd.array(
+        [_hll_seq_estimate(tokens, p)], dtype="int64")})
+
+
+def expected_vocab_hll_by_lang(sf_dir: str, p: int = 12) -> pd.DataFrame:
+    """Per-language distinct-token HLL (the grouped-sketch aggregate)."""
+    import re as _re
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["lang", "text"])
+    per_lang: dict = {}
+    for lang, tx in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+        per_lang.setdefault(lang, set()).update(
+            _re.split(r"\s+", (tx or "").strip()))
+    langs = sorted(per_lang)
+    return pd.DataFrame({
+        "lang": langs,
+        "vocab_estimate": pd.array(
+            [_hll_seq_estimate(per_lang[l], p) for l in langs],
+            dtype="int64"),
+    })
 
 
 def expected_train(corpus, n_epochs: int = 4, lr: float = 2.0,
@@ -766,28 +788,42 @@ def expected_knn_ivf(sf_dir: str, k: int = 10, n_clusters: int = 16,
 
 
 def main() -> None:
+    # optional positional args restrict regeneration to the named
+    # queries (other expected parquets on disk are left untouched)
+    only = {a for a in sys.argv[1:] if not a.startswith("-")}
+    want = lambda name: not only or name in only
     os.makedirs(OUT_DIR, exist_ok=True)
     per_query: dict = {}
+
+    corpus_based = ({f"extract_{l}" for l in LAYOUTS}
+                    | {"extract_knobs", "hocr_parse_extract",
+                       "dataset_builder", "token_accuracy",
+                       "eval_generic_vs_dynamic", "extract_resumable",
+                       "train_classifier", "extract_transformers",
+                       "ocr_expand", "multimodal_features"})
 
     for sf_dir, sf in SF_DIRS.items():
         sig = doc_sig(sf_dir)
         n = corpus_n(sf)
         print(f"{sf_dir}: sig={sig} corpus_n={n}", flush=True)
-        corpus = build_corpus(n)
+        corpus = build_corpus(n) if (not only or only & corpus_based) else None
 
         for layout in LAYOUTS:
+            if not want(f"extract_{layout}"):
+                continue
             df = expected_extract(corpus, layout)
             df.insert(0, "sig", sig)
             df.insert(1, "layout", layout)
             per_query.setdefault(f"extract_{layout}", []).append(df)
             print(f"  extract_{layout}: {len(df)} rows", flush=True)
-        df = expected_extract(corpus, "generic", **KNOBS)
-        df.insert(0, "sig", sig)
-        per_query.setdefault("extract_knobs", []).append(df)
-        df = expected_hocr_roundtrip(corpus)
-        df.insert(0, "sig", sig)
-        per_query.setdefault("hocr_parse_extract", []).append(df)
-        print("  knobs + hocr roundtrip done", flush=True)
+        if want("extract_knobs"):
+            df = expected_extract(corpus, "generic", **KNOBS)
+            df.insert(0, "sig", sig)
+            per_query.setdefault("extract_knobs", []).append(df)
+        if want("hocr_parse_extract"):
+            df = expected_hocr_roundtrip(corpus)
+            df.insert(0, "sig", sig)
+            per_query.setdefault("hocr_parse_extract", []).append(df)
 
         for name, fn in (("dataset_builder", expected_dataset_builder),
                          ("token_accuracy", expected_token_accuracy),
@@ -797,6 +833,8 @@ def main() -> None:
                          ("extract_transformers", expected_transformers),
                          ("ocr_expand", expected_ocr_expand),
                          ("multimodal_features", expected_multimodal)):
+            if not want(name):
+                continue
             df = fn(corpus)
             df.insert(0, "sig", sig)
             per_query.setdefault(name, []).append(df)
@@ -808,13 +846,21 @@ def main() -> None:
                          ("knn_ivf", expected_knn_ivf),
                          ("dedup_embedding", expected_dedup_embedding),
                          ("kmeans_embeddings", expected_kmeans),
-                         ("vocab_hll", expected_vocab_hll)):
+                         ("vocab_hll", expected_vocab_hll),
+                         ("vocab_hll_by_lang", expected_vocab_hll_by_lang)):
+            if not want(name):
+                continue
             df = fn(sf_dir)
             df.insert(0, "sig", sig)
             per_query.setdefault(name, []).append(df)
             print(f"  {name}: {len(df)} rows", flush=True)
 
-        for name, df in expected_dedup_text(sf_dir).items():
+        dedup_names = {"dedup_minhash", "dedup_ngram", "dedup_simhash"}
+        dedup = (expected_dedup_text(sf_dir)
+                 if (not only or only & dedup_names) else {})
+        for name, df in dedup.items():
+            if not want(name):
+                continue
             df.insert(0, "sig", sig)
             per_query.setdefault(name, []).append(df)
             print(f"  {name}: {len(df)} rows", flush=True)

@@ -90,6 +90,8 @@ def temperature_sample(ds, stratum_column: str = "lang",
 
     counts = (ds.groupby(stratum_column)
               .aggregate(Count(alias_name="n")).to_pandas())
+    if counts.empty:          # empty corpus → nothing to rebalance
+        return ds
     n_min = int(counts["n"].min())
     rates = {}
     for s, n in zip(counts[stratum_column], counts["n"]):

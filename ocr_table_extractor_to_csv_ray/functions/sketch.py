@@ -254,7 +254,11 @@ def hll_vocab_by_group(ds, group_column: str = "lang",
     def sketch_batch(t: pa.Table) -> pa.Table:
         groups, sketches = [], []
         for g in pc.unique(t[group_column]).to_pylist():
-            sub = t.filter(pc.equal(t[group_column], g))
+            # pc.equal(col, None) yields all-null masks — match nulls
+            # explicitly so a null group is aggregated, not dropped
+            mask = (pc.is_null(t[group_column]) if g is None
+                    else pc.equal(t[group_column], g))
+            sub = t.filter(mask)
             h = HyperLogLog(p)
             h.add_hashes(_batch_token_hashes(sub, column))
             groups.append(g)

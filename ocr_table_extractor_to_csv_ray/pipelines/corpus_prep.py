@@ -35,9 +35,17 @@ from ..functions.textstats import QualityStage
 
 def prep_corpus(ds, quality_min: float = 0.5, alpha: float = 0.5,
                 stratum_column: str = "lang", id_column: str = "doc_id",
-                quality_concurrency: int = 4):
+                quality_concurrency: int = 4, checkpoint_dir: str | None = None):
     """Run the full prep chain; returns the per-language report dataset
-    ``(lang, n_docs, total_tokens)`` over the surviving sample."""
+    ``(lang, n_docs, total_tokens)`` over the surviving sample.
+
+    ``temperature_sample`` consumes its input twice (stratum counts,
+    then the filter), so by default the scrub+quality chain re-executes
+    for the counts pass — recompute-not-materialize, the streaming
+    default. Pass ``checkpoint_dir`` to spill the (much smaller) gated
+    ``(id, stratum, n_tokens)`` projection to parquet once and feed both
+    passes from it — the same escape hatch ``kmeans_embeddings`` uses
+    for its cross-iteration scan."""
 
     scrubbed = ds.map_batches(
         functools.partial(pii_scrub_batch, id_column=id_column),
@@ -57,6 +65,11 @@ def prep_corpus(ds, quality_min: float = 0.5, alpha: float = 0.5,
 
     kept = scored.map_batches(_gate, batch_format="pyarrow") \
                  .select_columns([id_column, stratum_column, "n_tokens"])
+
+    if checkpoint_dir is not None:
+        import ray.data as rd
+        kept.write_parquet(checkpoint_dir)
+        kept = rd.read_parquet(checkpoint_dir)
 
     sampled = temperature_sample(kept, stratum_column=stratum_column,
                                  id_column=id_column, alpha=alpha)

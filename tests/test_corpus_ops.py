@@ -257,3 +257,21 @@ def test_hll_by_group_matches_per_group_global_sketch(ray_session):
         truth = len({w for tx in sub["text"].to_pylist()
                      for w in tx.split()})
         assert abs(got[lang] - truth) / truth < 0.1
+
+
+def test_prep_corpus_checkpoint_identical(ray_session, tmp_path):
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.pipelines.corpus_prep import prep_corpus
+
+    n = 120
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "lang": pa.array([["en", "es"][i % 2] for i in range(n)]),
+        "text": pa.array(["some reasonable english words here " * 3] * n),
+    })
+    a = (prep_corpus(rd.from_arrow(t), quality_concurrency=2)
+         .to_pandas().sort_values("lang").reset_index(drop=True))
+    b = (prep_corpus(rd.from_arrow(t), quality_concurrency=2,
+                     checkpoint_dir=str(tmp_path / "ckpt"))
+         .to_pandas().sort_values("lang").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)

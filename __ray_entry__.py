@@ -333,6 +333,29 @@ def _html_tables(sf_dir: str):
     return out.select_columns(["doc_id", "table_idx", "n_rows", "n_cols"])
 
 
+def _repetition_stats(sf_dir: str):
+    """Gopher-style within-doc repetition features over docs wrapped
+    with 1–3 deterministic boilerplate-line copies (so dup-line
+    fractions are non-trivial and SQL-mirrorable)."""
+    import pyarrow.compute as pc
+    from ocr_table_extractor_to_csv_ray.functions.textstats import (
+        repetition_stats_batch)
+
+    def inject(t: pa.Table) -> pa.Table:
+        reps = 1 + (t["doc_id"].to_numpy() % 3)
+        text = pc.fill_null(t["text"], "")
+        suffix = pa.array(["\nREPEATED BOILERPLATE SEGMENT" * int(r)
+                           for r in reps])
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": pc.binary_join_element_wise(text, suffix, ""),
+        })
+
+    return (_docs(sf_dir).select_columns(["doc_id", "text"])
+            .map_batches(inject, batch_format="pyarrow")
+            .map_batches(repetition_stats_batch, batch_format="pyarrow"))
+
+
 def _doc_token_stats(sf_dir: str):
     from ocr_table_extractor_to_csv_ray.functions.textstats import token_stats_batch
     return (_docs(sf_dir)
@@ -549,6 +572,14 @@ def _vocab_size(sf_dir: str):
     from ocr_table_extractor_to_csv_ray.functions.sketch import exact_vocab_size
     return pd.DataFrame({"vocab": pd.array([exact_vocab_size(_docs(sf_dir))],
                                            dtype="int64")})
+
+
+def _vocab_by_lang(sf_dir: str):
+    """EXACT distinct tokens per language: distinct (lang, token) pair
+    partials → groupby-distinct → partial counts → tiny sum groupby
+    (functions/sketch.py::exact_vocab_by_group)."""
+    from ocr_table_extractor_to_csv_ray.functions.sketch import exact_vocab_by_group
+    return exact_vocab_by_group(_docs(sf_dir).select_columns(["lang", "text"]))
 
 
 def _vocab_hll_by_lang(sf_dir: str):
@@ -925,6 +956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats_by_lang": _corpus_stats_by_lang,
         "langid": _langid,
         "quality": _quality,
+        "repetition_stats": _repetition_stats,
         "fingerprint_md5": _fingerprint,
         "fingerprint_rolling": _rolling_fingerprint,
         # PII / substring-level dedup / decontamination / composed prep
@@ -939,6 +971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distinct counts / sketches
         "vocab_size": _vocab_size,
         "vocab_hll": _vocab_hll,
+        "vocab_by_lang": _vocab_by_lang,
         "vocab_hll_by_lang": _vocab_hll_by_lang,
         # dedup
         "dedup_exact": _dedup_exact,
@@ -1184,6 +1217,57 @@ _DEDUP_LINES_SQL = """
 """
 
 
+_REPETITION_SQL = r"""
+    WITH inj AS (
+      SELECT doc_id,
+             coalesce(text, '')
+             || repeat(chr(10) || 'REPEATED BOILERPLATE SEGMENT',
+                       CAST(1 + doc_id % 3 AS INTEGER)) AS text
+      FROM documents),
+    l AS (
+      SELECT doc_id, generate_subscripts(ls, 1) AS idx, unnest(ls) AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM inj)),
+    ld AS (
+      SELECT doc_id,
+             sum(CASE WHEN rn > 1 THEN length(line) ELSE 0 END) AS dupc,
+             sum(length(line)) AS totc
+      FROM (SELECT doc_id, line, idx,
+                   row_number() OVER (PARTITION BY doc_id, line
+                                      ORDER BY idx) AS rn
+            FROM l)
+      GROUP BY doc_id),
+    tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM inj),
+    tw AS (
+      SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS n
+      FROM (SELECT doc_id, w, count(*) AS c
+            FROM (SELECT doc_id, unnest(t) AS w FROM tok)
+            GROUP BY doc_id, w)
+      GROUP BY doc_id),
+    bg AS (
+      SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS n
+      FROM (SELECT doc_id, g, count(*) AS c
+            FROM (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+                  FROM tok, unnest(range(1, len(t))) AS u(i))
+            GROUP BY doc_id, g)
+      GROUP BY doc_id)
+    SELECT i.doc_id,
+           CASE WHEN coalesce(ld.totc, 0) = 0 THEN 0.0
+                ELSE ld.dupc * 1.0 / ld.totc END AS dup_line_char_frac,
+           CASE WHEN tw.n IS NULL THEN 0.0
+                ELSE tw.mx * 1.0 / tw.n END AS top_word_frac,
+           CASE WHEN bg.n IS NULL THEN 0.0
+                ELSE bg.mx * 1.0 / bg.n END AS top_bigram_frac
+    FROM inj i
+    LEFT JOIN ld ON i.doc_id = ld.doc_id
+    LEFT JOIN tw ON i.doc_id = tw.doc_id
+    LEFT JOIN bg ON i.doc_id = bg.doc_id
+"""
+
+
 _LANG_TEMPERATURE_SQL = """
     WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
     m AS (SELECT min(n) AS nmin FROM c),
@@ -1248,6 +1332,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": _expected_sql("dedup_embedding", "vec_id"),
         "kmeans_embeddings": _expected_sql("kmeans_embeddings",
                                            "vec_id, cluster"),
+        "vocab_by_lang": r"""
+            SELECT lang, count(DISTINCT w) AS vocab
+            FROM (SELECT lang,
+                         unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                  FROM documents)
+            GROUP BY lang
+        """,
         "vocab_hll": _expected_sql("vocab_hll", "vocab_estimate"),
         "vocab_hll_by_lang": _expected_sql("vocab_hll_by_lang",
                                            "lang, vocab_estimate"),
@@ -1349,6 +1440,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_oracle_sql(),
         "dedup_lines": _DEDUP_LINES_SQL,
         "decontam_eval": _DECONTAM_SQL,
+        "repetition_stats": _REPETITION_SQL,
         "corpus_prep": _corpus_prep_oracle_sql(),
         "lang_temperature_sample": _LANG_TEMPERATURE_SQL,
         "stratified_sample": """

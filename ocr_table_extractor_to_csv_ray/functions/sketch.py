@@ -279,3 +279,42 @@ def hll_vocab_by_group(ds, group_column: str = "lang",
     return (ds.map_batches(sketch_batch, batch_format="pyarrow")
             .groupby(group_column)
             .map_groups(merge_group, batch_format="pandas"))
+
+
+def exact_vocab_by_group(ds, group_column: str = "lang",
+                         column: str = "text"):
+    """EXACT distinct tokens per group — the precise sibling of
+    :func:`hll_vocab_by_group` (same output shape, ``vocab`` exact).
+
+    Scale shape: per-batch distinct ``(group, token)`` pairs (the local
+    combine — the shuffle carries unique-per-batch pairs, not the raw
+    token stream) → one ``groupby`` distinct over the pairs → per-batch
+    partial counts per group → a tiny final sum groupby. No token ever
+    reaches the driver. The pair shuffle is vocabulary×groups-scale;
+    beyond that the HLL sibling is the documented path."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def pairs(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t[column], "")
+        words = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+        counts = pc.list_value_length(words).to_numpy().astype(np.int64)
+        flat = words.combine_chunks().flatten()
+        parent = np.repeat(np.arange(len(counts)), counts)
+        g = t[group_column].combine_chunks() if isinstance(
+            t[group_column], pa.ChunkedArray) else t[group_column]
+        pt = pa.table({group_column: g.take(pa.array(parent)), "token": flat})
+        return pt.group_by([group_column, "token"]).aggregate([])
+
+    distinct = (ds.map_batches(pairs, batch_format="pyarrow")
+                .groupby([group_column, "token"]).count())
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(group_column).aggregate([("token", "count")])
+        return pa.table({
+            group_column: g[group_column],
+            "n": pc.cast(g["token_count"], pa.int64()),
+        })
+
+    return (distinct.map_batches(partial, batch_format="pyarrow")
+            .groupby(group_column).aggregate(Sum("n", alias_name="vocab")))

@@ -288,3 +288,53 @@ def doc_freq(ds, column: str = "text", min_df: int = 1, terms=None):
             lambda t: t.filter(pc.greater_equal(t["df"], pa.scalar(min_df))),
             batch_format="pyarrow")
     return out
+
+
+def repetition_stats_batch(batch: pa.Table, column: str = "text",
+                           id_column: str = "doc_id") -> pa.Table:
+    """Gopher-style WITHIN-document repetition features (Rae et al.
+    2021's repetition filters, the dup-line/word/bigram subset):
+
+    - ``dup_line_char_frac`` — fraction of line characters belonging to
+      a repeat of an earlier identical line in the same doc
+    - ``top_word_frac`` — occurrences of the most frequent token / all
+      tokens
+    - ``top_bigram_frac`` — occurrences of the most frequent bigram /
+      all bigrams
+
+    Pure per-row features: a zero-shuffle streaming ``map_batches``
+    stage (string-bound Python kernel, the QualityStage precedent).
+    All three are float64 with SQL-mirrorable formulas — division
+    orders match the DuckDB oracle exactly."""
+    from collections import Counter
+
+    texts = batch[column].to_pylist()
+    n = len(texts)
+    dup_line = np.zeros(n, np.float64)
+    top_word = np.zeros(n, np.float64)
+    top_bigram = np.zeros(n, np.float64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        lines = t.split("\n")
+        seen: set = set()
+        dupc = totc = 0
+        for ln in lines:
+            totc += len(ln)
+            if ln in seen:
+                dupc += len(ln)
+            else:
+                seen.add(ln)
+        if totc:
+            dup_line[i] = dupc * 1.0 / totc
+        toks = t.split()
+        if toks:
+            top_word[i] = max(Counter(toks).values()) * 1.0 / len(toks)
+        if len(toks) > 1:
+            grams = Counter(zip(toks, toks[1:]))
+            top_bigram[i] = max(grams.values()) * 1.0 / (len(toks) - 1)
+    return pa.table({
+        id_column: batch[id_column],
+        "dup_line_char_frac": pa.array(dup_line),
+        "top_word_frac": pa.array(top_word),
+        "top_bigram_frac": pa.array(top_bigram),
+    })

@@ -275,3 +275,41 @@ def test_prep_corpus_checkpoint_identical(ray_session, tmp_path):
                      checkpoint_dir=str(tmp_path / "ckpt"))
          .to_pandas().sort_values("lang").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_exact_vocab_by_group_matches_sets(ray_session):
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.sketch import exact_vocab_by_group
+
+    t = pa.table({
+        "lang": pa.array(["en", "en", "es", "es", "es"]),
+        "text": pa.array(["a b c", "b c d", "x y", "y z", ""]),
+    })
+    got = (exact_vocab_by_group(rd.from_arrow(t).repartition(3))
+           .to_pandas().set_index("lang")["vocab"])
+    # en: {a,b,c,d}; es: {x,y,z,''} — the empty-split token counts,
+    # matching the SQL regexp_split contract used by vocab_size
+    assert int(got["en"]) == 4
+    assert int(got["es"]) == 4
+
+
+def test_repetition_stats_formulas():
+    from ocr_table_extractor_to_csv_ray.functions.textstats import (
+        repetition_stats_batch)
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "dup line\nunique\ndup line",      # 8 of 22 line chars dup
+            "a a a b",                          # top word 3/4, bigram "a a" 2/3
+            "solo",                             # one token: no bigrams
+            "",                                 # empty: all zeros
+        ]),
+    })
+    out = repetition_stats_batch(t).to_pandas().set_index("doc_id")
+    assert out.loc[1, "dup_line_char_frac"] == 8 / 22
+    assert out.loc[2, "top_word_frac"] == 3 * 1.0 / 4
+    assert out.loc[2, "top_bigram_frac"] == 2 * 1.0 / 3
+    assert out.loc[3, "top_word_frac"] == 1.0
+    assert out.loc[3, "top_bigram_frac"] == 0.0
+    assert (out.loc[4] == 0.0).all()

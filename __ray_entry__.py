@@ -333,6 +333,16 @@ def _html_tables(sf_dir: str):
     return out.select_columns(["doc_id", "table_idx", "n_rows", "n_cols"])
 
 
+def _pack_sequences(sf_dir: str):
+    """Pretraining sequence packing: global per-doc token offsets via a
+    distributed two-level prefix sum (range buckets → tiny bucket-total
+    groupby → in-bucket ordered cumsum), windows of 256 tokens
+    (functions/pack.py)."""
+    from ocr_table_extractor_to_csv_ray.functions.pack import pack_offsets
+    return pack_offsets(_docs(sf_dir).select_columns(["doc_id", "text"]),
+                        seq_len=256, num_buckets=16)
+
+
 def _repetition_stats(sf_dir: str):
     """Gopher-style within-doc repetition features over docs wrapped
     with 1–3 deterministic boilerplate-line copies (so dup-line
@@ -957,6 +967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _langid,
         "quality": _quality,
         "repetition_stats": _repetition_stats,
+        "pack_sequences": _pack_sequences,
         "fingerprint_md5": _fingerprint,
         "fingerprint_rolling": _rolling_fingerprint,
         # PII / substring-level dedup / decontamination / composed prep
@@ -1441,6 +1452,24 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines": _DEDUP_LINES_SQL,
         "decontam_eval": _DECONTAM_SQL,
         "repetition_stats": _REPETITION_SQL,
+        "pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(list_filter(regexp_split_to_array(
+                         trim(coalesce(text, '')), '\s+'),
+                         x -> x <> '')) AS n_tokens
+              FROM documents),
+            o AS (
+              SELECT doc_id, n_tokens,
+                     CAST(sum(n_tokens + 1) OVER (ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING)
+                          - (n_tokens + 1) AS BIGINT) AS start_tok
+              FROM t)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, start_tok,
+                   start_tok // 256 AS first_seq,
+                   (start_tok + n_tokens) // 256 AS last_seq
+            FROM o
+        """,
         "corpus_prep": _corpus_prep_oracle_sql(),
         "lang_temperature_sample": _LANG_TEMPERATURE_SQL,
         "stratified_sample": """

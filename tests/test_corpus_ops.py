@@ -313,3 +313,45 @@ def test_repetition_stats_formulas():
     assert out.loc[3, "top_word_frac"] == 1.0
     assert out.loc[3, "top_bigram_frac"] == 0.0
     assert (out.loc[4] == 0.0).all()
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (distributed prefix sum)
+
+def test_pack_offsets_matches_sequential_scan(ray_session):
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.pack import pack_offsets
+
+    rng = np.random.RandomState(7)
+    n = 150
+    # non-contiguous, shuffled ids — the range-bucket contract only
+    # needs integer ids, not dense or ordered ones
+    ids = rng.permutation(np.arange(0, 3 * n, 3))[:n]
+    texts = [" ".join("w" for _ in range(rng.randint(0, 40))) for _ in range(n)]
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts)})
+    L = 64
+    got = (pack_offsets(rd.from_arrow(t).repartition(7), seq_len=L,
+                        num_buckets=8)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # sequential spec in doc_id order
+    order = np.argsort(ids)
+    off = 0
+    for row_i in order:
+        ntok = len(texts[row_i].split())
+        g = got[got["doc_id"] == ids[row_i]].iloc[0]
+        assert g["n_tokens"] == ntok
+        assert g["start_tok"] == off
+        assert g["first_seq"] == off // L
+        assert g["last_seq"] == (off + ntok) // L
+        off += ntok + 1
+    # contiguity: consecutive docs tile the stream with no gaps
+    assert got["start_tok"].iloc[0] == 0
+    n1 = got["n_tokens"] + 1
+    assert (got["start_tok"].iloc[1:].to_numpy()
+            == (got["start_tok"] + n1).iloc[:-1].to_numpy()).all()
+    # partition invariance
+    got2 = (pack_offsets(rd.from_arrow(t).repartition(13), seq_len=L,
+                         num_buckets=3)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, got2)

@@ -343,6 +343,15 @@ def _pack_sequences(sf_dir: str):
                         seq_len=256, num_buckets=16)
 
 
+def _pack_manifest(sf_dir: str):
+    """Window-side packing manifest: per 256-token context window, how
+    many docs overlap it and how many positions they fill
+    (functions/pack.py::pack_manifest)."""
+    from ocr_table_extractor_to_csv_ray.functions.pack import pack_manifest
+    return pack_manifest(_docs(sf_dir).select_columns(["doc_id", "text"]),
+                         seq_len=256, num_buckets=16)
+
+
 def _repetition_stats(sf_dir: str):
     """Gopher-style within-doc repetition features over docs wrapped
     with 1–3 deterministic boilerplate-line copies (so dup-line
@@ -968,6 +977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": _quality,
         "repetition_stats": _repetition_stats,
         "pack_sequences": _pack_sequences,
+        "pack_manifest": _pack_manifest,
         "fingerprint_md5": _fingerprint,
         "fingerprint_rolling": _rolling_fingerprint,
         # PII / substring-level dedup / decontamination / composed prep
@@ -1469,6 +1479,30 @@ def oracle_sql() -> dict[str, str]:
                    start_tok // 256 AS first_seq,
                    (start_tok + n_tokens) // 256 AS last_seq
             FROM o
+        """,
+        "pack_manifest": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(list_filter(regexp_split_to_array(
+                         trim(coalesce(text, '')), '\s+'),
+                         x -> x <> '')) AS n_tokens
+              FROM documents),
+            o AS (
+              SELECT doc_id, n_tokens,
+                     CAST(sum(n_tokens + 1) OVER (ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING)
+                          - (n_tokens + 1) AS BIGINT) AS start_tok
+              FROM t),
+            w AS (
+              SELECT start_tok, n_tokens + 1 AS n1,
+                     unnest(range(start_tok // 256,
+                                  (start_tok + n_tokens) // 256 + 1)) AS seq_id
+              FROM o)
+            SELECT seq_id, count(*) AS n_docs,
+                   CAST(sum(least((seq_id + 1) * 256, start_tok + n1)
+                            - greatest(seq_id * 256, start_tok)) AS BIGINT)
+                       AS n_filled
+            FROM w GROUP BY seq_id
         """,
         "corpus_prep": _corpus_prep_oracle_sql(),
         "lang_temperature_sample": _LANG_TEMPERATURE_SQL,

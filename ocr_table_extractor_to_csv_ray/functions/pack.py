@@ -94,3 +94,41 @@ def pack_offsets(ds, seq_len: int = 2048, id_column: str = "doc_id",
 
     return per_doc.groupby("bucket").map_groups(scan_bucket,
                                                 batch_format="pandas")
+
+
+def pack_manifest(ds, seq_len: int = 2048, id_column: str = "doc_id",
+                  column: str = "text", num_buckets: int = 64):
+    """Window-side view of :func:`pack_offsets`: one row per context
+    window ``(seq_id, n_docs, n_filled)`` — how many docs overlap the
+    window and how many of its ``seq_len`` positions they fill (every
+    window except the final one is exactly full; the property tests
+    assert it). Docs explode to their overlapped windows (almost always
+    1–2 rows each) in a vectorized ``map_batches``, then one small
+    ``groupby(seq_id)`` sums the overlaps."""
+    from ray.data.aggregate import Sum
+
+    off = pack_offsets(ds, seq_len=seq_len, id_column=id_column,
+                       column=column, num_buckets=num_buckets)
+
+    def expand(t: pa.Table) -> pa.Table:
+        start = t["start_tok"].to_numpy()
+        n1 = t["n_tokens"].to_numpy() + 1
+        first = t["first_seq"].to_numpy()
+        last = t["last_seq"].to_numpy()
+        counts = (last - first + 1).astype(np.int64)
+        total = int(counts.sum())
+        parent = np.repeat(np.arange(len(counts)), counts)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        seq = first[parent] + (np.arange(total) - np.repeat(starts, counts))
+        lo = np.maximum(seq * seq_len, start[parent])
+        hi = np.minimum((seq + 1) * seq_len, (start + n1)[parent])
+        return pa.table({
+            "seq_id": pa.array(seq),
+            "docs": pa.array(np.ones(total, np.int64)),
+            "filled": pa.array(hi - lo),
+        })
+
+    return (off.map_batches(expand, batch_format="pyarrow")
+            .groupby("seq_id")
+            .aggregate(Sum("docs", alias_name="n_docs"),
+                       Sum("filled", alias_name="n_filled")))

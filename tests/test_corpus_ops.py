@@ -355,3 +355,25 @@ def test_pack_offsets_matches_sequential_scan(ray_session):
                          num_buckets=3)
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_pack_manifest_windows_full(ray_session):
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.pack import pack_manifest
+
+    rng = np.random.RandomState(13)
+    n = 100
+    texts = [" ".join("w" for _ in range(rng.randint(0, 50))) for _ in range(n)]
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(texts)})
+    L = 32
+    m = (pack_manifest(rd.from_arrow(t).repartition(6), seq_len=L,
+                       num_buckets=5)
+         .to_pandas().sort_values("seq_id").reset_index(drop=True))
+    total_positions = sum(len(tx.split()) + 1 for tx in texts)
+    # window ids tile [0, ceil(total/L)) with no gaps
+    assert m["seq_id"].tolist() == list(range((total_positions + L - 1) // L))
+    # every window except possibly the last is exactly full
+    assert (m["n_filled"].iloc[:-1] == L).all()
+    assert int(m["n_filled"].sum()) == total_positions
+    assert (m["n_docs"] >= 1).all()

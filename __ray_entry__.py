@@ -333,6 +333,24 @@ def _html_tables(sf_dir: str):
     return out.select_columns(["doc_id", "table_idx", "n_rows", "n_cols"])
 
 
+def _bloom_flag(sf_dir: str):
+    """Incremental-ingest dedup: even doc_ids form the existing-corpus
+    snapshot whose Bloom filter is built once (streaming, OR-merged);
+    every doc is then probed against the broadcast filter — snapshot
+    members are guaranteed hits, the rest hit only at the filter's
+    deterministic false-positive rate (functions/bloom.py)."""
+    from ocr_table_extractor_to_csv_ray.functions.bloom import (
+        bloom_flag, build_bloom)
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def evens(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t["doc_id"].to_numpy() % 2 == 0))
+
+    bloom = build_bloom(docs.map_batches(evens, batch_format="pyarrow"))
+    return bloom_flag(docs, bloom).select_columns(["doc_id", "maybe_seen"])
+
+
 def _pack_sequences(sf_dir: str):
     """Pretraining sequence packing: global per-doc token offsets via a
     distributed two-level prefix sum (range buckets → tiny bucket-total
@@ -983,6 +1001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PII / substring-level dedup / decontamination / composed prep
         "pii_scrub": _pii_scrub,
         "dedup_lines": _dedup_lines,
+        "bloom_flag": _bloom_flag,
         "decontam_eval": _decontam_eval,
         "corpus_prep": _corpus_prep,
         # sampling / per-group selection
@@ -1347,6 +1366,7 @@ def oracle_sql() -> dict[str, str]:
         # (MinHash-LSH / SimHash / hyperplane LSH / HLL) — see
         # tools/gen_oracle_expected.py — cross-checking the Ray
         # orchestration end to end
+        "bloom_flag": _expected_sql("bloom_flag", "doc_id, maybe_seen"),
         "dedup_minhash": _expected_sql("dedup_minhash", "doc_id"),
         "dedup_ngram": _expected_sql("dedup_ngram", "doc_id"),
         "dedup_simhash": _expected_sql("dedup_simhash", "doc_id"),

@@ -377,3 +377,36 @@ def test_pack_manifest_windows_full(ray_session):
     assert (m["n_filled"].iloc[:-1] == L).all()
     assert int(m["n_filled"].sum()) == total_positions
     assert (m["n_docs"] >= 1).all()
+
+
+# ---------------------------------------------------------------------------
+# Bloom incremental dedup
+
+def test_bloom_filter_membership_and_merge(ray_session):
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.bloom import (
+        BloomFilter, bloom_flag, build_bloom)
+
+    old_texts = [f"historical document number {i}" for i in range(200)]
+    new_texts = [f"fresh document number {i}" for i in range(200)]
+    f = BloomFilter(1 << 16, 4)
+    f.add(old_texts)
+    assert f.contains(old_texts).all()          # no false negatives, ever
+    fp = f.contains(new_texts).mean()
+    assert fp < 0.05                            # well under design rate
+    # OR-merge == build over the union
+    f1, f2 = BloomFilter(1 << 16, 4), BloomFilter(1 << 16, 4)
+    f1.add(old_texts[:100]); f2.add(old_texts[100:])
+    assert (f1.merge(f2).bits == f.bits).all()
+
+    # dataset path: distributed build equals sequential build bit-for-bit
+    old_ds = rd.from_arrow(pa.table({"text": pa.array(old_texts)})).repartition(7)
+    built = build_bloom(old_ds, m_bits=1 << 16)
+    assert (built.bits == f.bits).all()
+    flagged = bloom_flag(
+        rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(400), pa.int64()),
+            "text": pa.array(old_texts + new_texts)})),
+        built).to_pandas()
+    assert flagged.loc[:199, "maybe_seen"].all()
+    assert flagged.loc[200:, "maybe_seen"].mean() < 0.05

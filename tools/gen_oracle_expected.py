@@ -458,6 +458,31 @@ def expected_vocab_hll(sf_dir: str, p: int = 12) -> pd.DataFrame:
         [_hll_seq_estimate(tokens, p)], dtype="int64")})
 
 
+def expected_bloom_flag(sf_dir: str, m_bits: int = 1 << 20,
+                        k: int = 4) -> pd.DataFrame:
+    """Independent sequential Bloom filter (double hashing from the two
+    md5 halves, h2 forced odd) over even-doc_id texts; every doc probed.
+    Bit-exact vs the engine because the hash spec has no RNG — false
+    positives included."""
+    def positions(tx):
+        d = hashlib.md5((tx or "").encode("utf-8")).digest()
+        h1 = int.from_bytes(d[:8], "little")
+        h2 = int.from_bytes(d[8:], "little") | 1
+        return [(h1 + i * h2) & (m_bits - 1) for i in range(k)]
+
+    ids, texts = _load_docs(sf_dir)
+    bits = bytearray(m_bits // 8)
+    for i, tx in zip(ids, texts):
+        if int(i) % 2 == 0:
+            for p in positions(tx):
+                bits[p >> 3] |= 1 << (p & 7)
+    seen = [all((bits[p >> 3] >> (p & 7)) & 1 for p in positions(tx))
+            for tx in texts]
+    return pd.DataFrame({"doc_id": pd.array([int(i) for i in ids],
+                                            dtype="int64"),
+                         "maybe_seen": pd.array(seen, dtype="bool")})
+
+
 def expected_vocab_hll_by_lang(sf_dir: str, p: int = 12) -> pd.DataFrame:
     """Per-language distinct-token HLL (the grouped-sketch aggregate)."""
     import re as _re
@@ -847,7 +872,8 @@ def main() -> None:
                          ("dedup_embedding", expected_dedup_embedding),
                          ("kmeans_embeddings", expected_kmeans),
                          ("vocab_hll", expected_vocab_hll),
-                         ("vocab_hll_by_lang", expected_vocab_hll_by_lang)):
+                         ("vocab_hll_by_lang", expected_vocab_hll_by_lang),
+                         ("bloom_flag", expected_bloom_flag)):
             if not want(name):
                 continue
             df = fn(sf_dir)

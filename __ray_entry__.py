@@ -917,6 +917,64 @@ def _join_orders_lineitem(sf_dir: str):
     return joined.groupby("o_orderpriority").aggregate(Count(alias_name="n_items"))
 
 
+def _revenue_by_segment(sf_dir: str):
+    """TPC-H-Q3/Q5-shaped THREE-table chain: customer ⋈ orders ⋈
+    lineitem through two chained partitioned hash joins, with lineitem
+    pre-aggregated per order INSIDE map_batches before its join (the
+    local combine shrinks the biggest table ~4× before it shuffles) and
+    integer-cents revenue so the sum is engine-portable."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+    from ocr_table_extractor_to_csv_ray.functions.join import hash_join
+
+    cust = (rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                            columns=["c_custkey", "c_mktsegment"])
+            .map_batches(lambda t: t.rename_columns(
+                ["o_custkey", "c_mktsegment"]), batch_format="pyarrow"))
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    def rekey(t: pa.Table) -> pa.Table:
+        # the first join's union/pad upcasts o_orderkey (NA-padded on
+        # the customer side); the NEXT hash_join's siphash is
+        # dtype-sensitive, so restore int64 before re-bucketing
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "c_mktsegment": t["c_mktsegment"],
+        })
+
+    oc = (hash_join(orders, cust, key="o_custkey", num_buckets=16)
+          .select_columns(["o_orderkey", "c_mktsegment"])
+          .map_batches(rekey, batch_format="pyarrow"))
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0))), pa.int64())
+        g = (pa.table({"o_orderkey": t["l_orderkey"], "cents": cents})
+             .group_by("o_orderkey").aggregate([("cents", "sum")]))
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         "cents": pc.cast(g["cents_sum"], pa.int64())})
+
+    rev = li.map_batches(li_partial, batch_format="pyarrow")
+    joined = hash_join(oc, rev, key="o_orderkey", num_buckets=16)
+
+    def seg_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["c_mktsegment", "cents"]).group_by(
+            "c_mktsegment").aggregate([("cents", "sum")])
+        return pa.table({"c_mktsegment": g["c_mktsegment"],
+                         "cents": pc.cast(g["cents_sum"], pa.int64())})
+
+    return (joined.map_batches(seg_partial, batch_format="pyarrow")
+            .groupby("c_mktsegment")
+            .aggregate(Sum("cents", alias_name="revenue_cents")))
+
+
 def _events_sessions(sf_dir: str):
     import ray.data as rd
     from ocr_table_extractor_to_csv_ray.functions.join import sessionize
@@ -1026,6 +1084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joins + windows
         "join_doc_labels": _join_doc_labels,
         "join_orders_lineitem": _join_orders_lineitem,
+        "revenue_by_segment": _revenue_by_segment,
         "events_sessions": _events_sessions,
         "events_asof": _events_asof,
         "events_window": _events_window,
@@ -1631,6 +1690,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderpriority, count(*) AS n_items
             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
             GROUP BY o.o_orderpriority
+        """,
+        "revenue_by_segment": """
+            SELECT c.c_mktsegment,
+                   CAST(sum(CAST(floor(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY c.c_mktsegment
         """,
         "events_sessions": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),

@@ -113,6 +113,13 @@ def hash_join(left, right, key: str, num_buckets: int = 32,
     sub-bucket).
     (Ray ≥ 2.46 also ships ``Dataset.join`` with the same
     hash-partitioned plan; this spells the pattern out explicitly.)
+
+    Key-dtype contract: bucketing hashes the key column AS TYPED
+    (``hash_pandas_object`` is dtype-sensitive — int64 8 and float64
+    8.0 bucket differently). Both sides must carry the key in the same
+    dtype; in particular, a column that passed through a PREVIOUS
+    hash_join's union/pad may have been NA-upcast to float/object and
+    must be cast back before chaining a second join on it.
     """
     if hot_keys and how not in ("inner", "left"):
         # right/outer would emit an unmatched right hot row once per

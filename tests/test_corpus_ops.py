@@ -410,3 +410,37 @@ def test_bloom_filter_membership_and_merge(ray_session):
         built).to_pandas()
     assert flagged.loc[:199, "maybe_seen"].all()
     assert flagged.loc[200:, "maybe_seen"].mean() < 0.05
+
+
+# ---------------------------------------------------------------------------
+# chained hash joins (key-dtype contract)
+
+def test_chained_hash_join_matches_pandas(ray_session):
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.join import hash_join
+
+    rng = np.random.RandomState(21)
+    a = pd.DataFrame({"k1": np.arange(50, dtype=np.int64),
+                      "v_a": rng.randint(0, 9, 50)})
+    b = pd.DataFrame({"k1": rng.randint(0, 50, 120).astype(np.int64),
+                      "k2": np.arange(120, dtype=np.int64)})
+    c = pd.DataFrame({"k2": rng.randint(0, 120, 200).astype(np.int64),
+                      "v_c": rng.randint(0, 9, 200)})
+    ab = hash_join(rd.from_pandas(a), rd.from_pandas(b), key="k1",
+                   num_buckets=4).select_columns(["k2", "v_a"])
+    # re-cast the chained key: the first join's union/pad NA-upcasts it
+    # and hash bucketing is dtype-sensitive (see hash_join docstring)
+    ab = ab.map_batches(
+        lambda t: pa.table({"k2": pa.compute.cast(t["k2"], pa.int64()),
+                            "v_a": t["v_a"]}), batch_format="pyarrow")
+    got = (hash_join(ab, rd.from_pandas(c), key="k2", num_buckets=4)
+           .to_pandas().sort_values(["k2", "v_a", "v_c"])
+           .reset_index(drop=True))
+    exp = (a.merge(b, on="k1")[["k2", "v_a"]].merge(c, on="k2")
+           .sort_values(["k2", "v_a", "v_c"]).reset_index(drop=True))
+    assert len(got) == len(exp)
+    assert (got["k2"].to_numpy() == exp["k2"].to_numpy()).all()
+    assert (got["v_a"].astype("int64").to_numpy()
+            == exp["v_a"].to_numpy()).all()
+    assert (got["v_c"].astype("int64").to_numpy()
+            == exp["v_c"].to_numpy()).all()

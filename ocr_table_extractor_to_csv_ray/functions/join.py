@@ -127,8 +127,18 @@ def hash_join(left, right, key: str, num_buckets: int = 32,
         # silently corrupting the result
         raise ValueError(
             f"hot_keys salting supports how='inner'/'left' only, got {how!r}")
-    left_cols = list(left.schema().names)
-    right_cols = list(right.schema().names)
+    lsch, rsch = left.schema(), right.schema()
+    left_cols = list(lsch.names)
+    right_cols = list(rsch.names)
+    lt = dict(zip(lsch.names, lsch.types)).get(key)
+    rt = dict(zip(rsch.names, rsch.types)).get(key)
+    if lt is not None and rt is not None and str(lt) != str(rt):
+        # a dtype mismatch would bucket the two sides differently and
+        # silently drop matches — fail loudly instead (the chained-join
+        # NA-upcast trap; see the docstring)
+        raise ValueError(
+            f"hash_join key dtype mismatch on {key!r}: left={lt}, "
+            f"right={rt} — cast both sides to one dtype before joining")
     all_cols = left_cols + [c for c in right_cols if c not in left_cols]
     hot = frozenset(hot_keys) if hot_keys else None
     S = max(1, salt_factor) if hot else 1

@@ -444,3 +444,14 @@ def test_chained_hash_join_matches_pandas(ray_session):
             == exp["v_a"].to_numpy()).all()
     assert (got["v_c"].astype("int64").to_numpy()
             == exp["v_c"].to_numpy()).all()
+
+
+def test_hash_join_rejects_key_dtype_mismatch(ray_session):
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.join import hash_join
+
+    l = rd.from_pandas(pd.DataFrame({"k": np.arange(5, dtype=np.int64)}))
+    r = rd.from_pandas(pd.DataFrame({"k": np.arange(5, dtype=np.float64),
+                                     "v": np.arange(5)}))
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        hash_join(l, r, key="k")

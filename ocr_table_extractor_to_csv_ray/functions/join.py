@@ -130,11 +130,28 @@ def hash_join(left, right, key: str, num_buckets: int = 32,
     lsch, rsch = left.schema(), right.schema()
     left_cols = list(lsch.names)
     right_cols = list(rsch.names)
+
+    def _dtype_class(t) -> str:
+        # normalize across Arrow-block and pandas-block schemas: arrow
+        # `string` and pandas `object` hold (and hash) the same values,
+        # while int-vs-float-vs-object IS the silent-drop trap
+        s = str(t).lower()
+        if "bool" in s:
+            return "bool"
+        if "int" in s:
+            return "int"
+        if "float" in s or "double" in s or "decimal" in s:
+            return "float"
+        if "str" in s or "object" in s or "utf8" in s:
+            return "str"
+        return s
+
     lt = dict(zip(lsch.names, lsch.types)).get(key)
     rt = dict(zip(rsch.names, rsch.types)).get(key)
-    if lt is not None and rt is not None and str(lt) != str(rt):
-        # a dtype mismatch would bucket the two sides differently and
-        # silently drop matches — fail loudly instead (the chained-join
+    if (lt is not None and rt is not None
+            and _dtype_class(lt) != _dtype_class(rt)):
+        # a dtype-class mismatch buckets the two sides differently and
+        # silently drops matches — fail loudly instead (the chained-join
         # NA-upcast trap; see the docstring)
         raise ValueError(
             f"hash_join key dtype mismatch on {key!r}: left={lt}, "

@@ -116,12 +116,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         if hasattr(res, "count"):
             res.count()
 
-    # the first eight are the round-1/2 comparable set; dedup_lines +
-    # corpus_prep were added in round 3 (new operators) — BASELINE.md
-    # reports both the comparable subtotal and the new total
+    # the first eight are the round-1/2 comparable set; dedup_lines,
+    # corpus_prep and revenue_by_segment were added in round 3 (new
+    # operators) — BASELINE.md reports both the comparable subtotal and
+    # the new total
     for q in ("extract_generic", "extract_transformers", "dataset_builder",
               "dedup_minhash", "knn_cosine", "events_hourly", "doc_token_stats",
-              "dedup_lines", "corpus_prep"):
+              "dedup_lines", "corpus_prep", "revenue_by_segment"):
         timed(q, lambda q=q: consume(q))
 
     total = round(sum(timings.values()), 3)

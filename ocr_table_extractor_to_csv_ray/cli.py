@@ -147,6 +147,33 @@ def cmd_finetune(args) -> None:
     print(json.dumps(row))
 
 
+def cmd_corpus_prep(args) -> None:
+    """Composed training-data prep (pipelines/corpus_prep.py): a
+    documents table (doc_id, lang, text) → PII scrub → quality gate →
+    language temperature sample → per-language report parquet."""
+    _ensure_ray()
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from .pipelines.corpus_prep import prep_corpus
+    ds = rd.read_parquet(args.input, columns=["doc_id", "lang", "text"])
+    report = prep_corpus(ds, quality_min=args.quality_min, alpha=args.alpha,
+                         checkpoint_dir=args.checkpoint_dir).to_pandas()
+    if report.empty:                  # every doc gated out
+        import pandas as pd
+        report = pd.DataFrame({"lang": pd.array([], dtype="object"),
+                               "n_docs": pd.array([], dtype="int64"),
+                               "total_tokens": pd.array([], dtype="int64")})
+    import pyarrow as pa
+    pq.write_table(pa.Table.from_pandas(report, preserve_index=False),
+                   args.output)
+    print(json.dumps({
+        "languages": len(report),
+        "n_docs": int(report["n_docs"].sum()),
+        "total_tokens": int(report["total_tokens"].sum()),
+        "output": args.output,
+    }))
+
+
 def cmd_csv_export(args) -> None:
     _ensure_ray()
     import ray.data as rd
@@ -200,6 +227,17 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--seed", type=int, default=42)
     f.add_argument("--metrics-json")
     f.set_defaults(fn=cmd_finetune)
+
+    cp = sub.add_parser("corpus-prep",
+                        help="documents parquet → per-language prep report")
+    cp.add_argument("input"); cp.add_argument("output")
+    cp.add_argument("--quality-min", type=float, default=0.5)
+    cp.add_argument("--alpha", type=float, default=0.5)
+    cp.add_argument("--checkpoint-dir",
+                    help="spill the gated projection to parquet so the "
+                         "stratum-count pass re-reads it instead of "
+                         "re-executing the chain")
+    cp.set_defaults(fn=cmd_corpus_prep)
 
     c = sub.add_parser("csv-export", help="extraction parquet → per-doc CSVs")
     c.add_argument("input"); c.add_argument("output")

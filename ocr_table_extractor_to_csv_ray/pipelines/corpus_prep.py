@@ -35,7 +35,8 @@ from ..functions.textstats import QualityStage
 
 def prep_corpus(ds, quality_min: float = 0.5, alpha: float = 0.5,
                 stratum_column: str = "lang", id_column: str = "doc_id",
-                quality_concurrency: int = 4, checkpoint_dir: str | None = None):
+                quality_concurrency: int | None = None,
+                checkpoint_dir: str | None = None):
     """Run the full prep chain; returns the per-language report dataset
     ``(lang, n_docs, total_tokens)`` over the surviving sample.
 
@@ -46,6 +47,14 @@ def prep_corpus(ds, quality_min: float = 0.5, alpha: float = 0.5,
     ``(id, stratum, n_tokens)`` projection to parquet once and feed both
     passes from it — the same escape hatch ``kmeans_embeddings`` uses
     for its cross-iteration scan."""
+
+    if quality_concurrency is None:
+        # cap the actor pool well under the CPU count so the read/task
+        # stages can't starve (the pool-starvation deadlock at low CPU
+        # counts — same sizing rule as pipelines/transformers.py)
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        quality_concurrency = max(1, min(8, cpus * 2 // 3))
 
     scrubbed = ds.map_batches(
         functools.partial(pii_scrub_batch, id_column=id_column),

@@ -455,3 +455,27 @@ def test_hash_join_rejects_key_dtype_mismatch(ray_session):
                                      "v": np.arange(5)}))
     with pytest.raises(ValueError, match="dtype mismatch"):
         hash_join(l, r, key="k")
+
+
+def test_cli_corpus_prep(ray_session, tmp_path, capsys):
+    import json
+    import pyarrow.parquet as pq
+    from ocr_table_extractor_to_csv_ray import cli
+
+    n = 90
+    docs = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "lang": pa.array([["en", "es", "fr"][i % 3] for i in range(n)]),
+        # 24 DISTINCT words: clears the quality gate (low repetition,
+        # enough tokens) so the report is non-empty
+        "text": pa.array([" ".join(f"word{j}" for j in range(24))] * n),
+    })
+    src = str(tmp_path / "docs.parquet")
+    out = str(tmp_path / "report.parquet")
+    pq.write_table(docs, src)
+    cli.main(["corpus-prep", src, out])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    report = pq.read_table(out).to_pandas()
+    assert summary["languages"] == len(report) > 0
+    assert summary["n_docs"] == int(report["n_docs"].sum()) <= n
+    assert set(report.columns) == {"lang", "n_docs", "total_tokens"}

@@ -847,7 +847,8 @@ def _flag_line_group(g: pd.DataFrame, id_column: str) -> pd.DataFrame:
 
 
 def duplicate_line_removal(ds, id_column: str = "doc_id",
-                           column: str = "text", min_chars: int = 10):
+                           column: str = "text", min_chars: int = 10,
+                           hot_cap: Optional[int] = None):
     """Remove every non-first occurrence of any line (≥ ``min_chars``
     chars) ACROSS the whole corpus; rebuild each document from its
     surviving lines. Returns one row per input doc:
@@ -860,10 +861,16 @@ def duplicate_line_removal(ds, id_column: str = "doc_id",
     bullets, separators — the hot values that would make mega-groups)
     BYPASS that shuffle entirely and are always kept, C4-style. One
     final ``groupby(doc_id)`` reassembles documents (group = one doc).
-    Residual hot spot: a single long line duplicated ~10^8× still lands
-    in one flag task; the escape hatch is the same min-aggregate +
-    join-back split used for hot keys in ``hash_join`` — not needed at
-    tested scales.
+    Hot lines: by default a single long line duplicated ~10^8× lands in
+    one flag task. Pass ``hot_cap`` to split the flag path: a cheap
+    partial-count aggregate finds line-hashes above the cap (a handful
+    by definition), their winner is computed by a MIN aggregate over the
+    encoded ``(doc_id, idx)`` instance key and broadcast, and only their
+    instances take the vectorized broadcast-flag path — no mega-group
+    task. Contract for the hot path: ``idx < 2^21`` and ``doc_id <
+    2^42`` (the encoded key), and the winner is keyed by the 64-bit line
+    hash alone (a hash collision WITH a hot line could mis-drop — ~2^-64,
+    same residual the LSH fused keys document).
 
     Beyond-reference operator (the reference dedups whole files,
     ``dataset_cli.py:189-195``); matches the line-level exact-substring
@@ -886,11 +893,70 @@ def duplicate_line_removal(ds, id_column: str = "doc_id",
             return out
         return f
 
-    long_flagged = (inst.map_batches(_split(True), batch_format="pyarrow")
+    long_inst = inst.map_batches(_split(True), batch_format="pyarrow")
+
+    hot_ref = None
+    if hot_cap is not None:
+        import ray
+        from ray.data.aggregate import Min, Sum
+
+        def _count_partial(t: pa.Table) -> pa.Table:
+            g = t.group_by("lhash").aggregate([("lhash", "count")])
+            return pa.table({"lhash": g["lhash"],
+                             "n": pc.cast(g["lhash_count"], pa.int64())})
+
+        counts = (long_inst.map_batches(_count_partial, batch_format="pyarrow")
+                  .groupby("lhash").aggregate(Sum("n", alias_name="n"))
+                  .to_pandas())
+        hot = set(counts.loc[counts["n"] > hot_cap, "lhash"])
+        if hot:
+            ENC = np.int64(1 << 21)          # idx < 2^21, doc_id < 2^42
+
+            def _min_partial(t: pa.Table) -> pa.Table:
+                m = pc.is_in(t["lhash"], value_set=pa.array(sorted(hot)))
+                t = t.filter(m)
+                key = pc.add(pc.multiply(pc.cast(t[id_column], pa.int64()),
+                                         pa.scalar(ENC)), t["idx"])
+                g = (pa.table({"lhash": t["lhash"], "key": key})
+                     .group_by("lhash").aggregate([("key", "min")]))
+                return pa.table({"lhash": g["lhash"], "key": g["key_min"]})
+
+            winners = (long_inst.map_batches(_min_partial,
+                                             batch_format="pyarrow")
+                       .groupby("lhash").aggregate(Min("key",
+                                                       alias_name="win"))
+                       .to_pandas())
+            hot_ref = ray.put(dict(zip(winners["lhash"], winners["win"])))
+
+    def _route(want_hot: bool):
+        import ray
+
+        def f(t: pa.Table) -> pa.Table:
+            wins = ray.get(hot_ref)
+            m = pc.is_in(t["lhash"], value_set=pa.array(sorted(wins)))
+            if not want_hot:
+                return t.filter(pc.invert(m))
+            t = t.filter(m)
+            key = (t[id_column].to_numpy() * (1 << 21)
+                   + t["idx"].to_numpy())
+            win = np.array([wins[h] for h in t["lhash"].to_pylist()],
+                           np.int64)
+            return (t.drop_columns(["lhash"])
+                    .append_column("keep", pa.array(key == win)))
+        return f
+
+    cold_inst = (long_inst if hot_ref is None else
+                 long_inst.map_batches(_route(False), batch_format="pyarrow"))
+    long_flagged = (cold_inst
                     .groupby("lhash")
                     .map_groups(functools.partial(_flag_line_group,
                                                   id_column=id_column),
                                 batch_format="pandas"))
+    if hot_ref is not None:
+        hot_flagged = (long_inst.map_batches(_route(True),
+                                             batch_format="pyarrow")
+                       .map_batches(lambda df: df, batch_format="pandas"))
+        long_flagged = long_flagged.union(hot_flagged)
     # union() requires both branches to carry the same block type; the
     # flagged branch comes out of a pandas map_groups, so normalize the
     # bypass branch to pandas blocks too.

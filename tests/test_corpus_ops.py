@@ -479,3 +479,26 @@ def test_cli_corpus_prep(ray_session, tmp_path, capsys):
     assert summary["languages"] == len(report) > 0
     assert summary["n_docs"] == int(report["n_docs"].sum()) <= n
     assert set(report.columns) == {"lang", "n_docs", "total_tokens"}
+
+
+def test_duplicate_line_removal_hot_cap_identical(ray_session):
+    import ray.data as rd
+    # one line duplicated far past the cap + normal dup/unique mix
+    docs = {}
+    for d in range(80):
+        body = [f"MEGA HOT BOILERPLATE LINE"]
+        if d % 3 == 0:
+            body.append("a cold duplicated line here")
+        body.append(f"unique content for doc {d}")
+        docs[d] = "\n".join(body)
+    t = pa.table({"doc_id": pa.array(sorted(docs), pa.int64()),
+                  "text": pa.array([docs[k] for k in sorted(docs)])})
+    base = (duplicate_line_removal(rd.from_arrow(t).repartition(9))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    hot = (duplicate_line_removal(rd.from_arrow(t).repartition(9),
+                                  hot_cap=10)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(base, hot)
+    # sanity: the hot line survives exactly once, in doc 0
+    assert base.loc[0, "text_clean"].startswith("MEGA HOT")
+    assert (base.loc[1:, "text_clean"].str.contains("MEGA HOT") == False).all()

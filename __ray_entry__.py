@@ -862,6 +862,40 @@ def _lineitem_pricing(sf_dir: str):
                        Sum("n_rows", alias_name="n_rows")))
 
 
+def _events_pushdown_read(sf_dir: str):
+    """Prune-at-the-read showcase: BOTH the predicate (event_type +
+    value threshold, pushed to parquet row groups via the scan filter)
+    and the projection (one column) are applied at the source — only
+    qualifying values of one column leave storage. Per-batch partial
+    sums then one tiny global aggregate."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["value"],
+        filter=(pads.field("event_type") == "purchase")
+               & (pads.field("value") >= 100.0))
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(t["value"], pa.scalar(100.0))),
+                        pa.int64())
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "cents": pa.array([pc.sum(cents).as_py() or 0], pa.int64()),
+        })
+
+    agg = (ev.map_batches(partial, batch_format="pyarrow")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("cents", alias_name="cents")))
+    return pd.DataFrame({
+        "n_events": pd.array([int(agg["n"] or 0)], dtype="int64"),
+        "total_cents": pd.array([int(agg["cents"] or 0)], dtype="int64"),
+    })
+
+
 def _events_hourly(sf_dir: str):
     import ray.data as rd
     import pyarrow.compute as pc
@@ -1095,6 +1129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_value": _events_type_value,
         # events
         "events_hourly": _events_hourly,
+        "events_pushdown_read": _events_pushdown_read,
     }
 
 
@@ -1622,6 +1657,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
                    count(*) AS n_events
             FROM events GROUP BY user_id, hour_id
+        """,
+        "events_pushdown_read": """
+            SELECT count(*) AS n_events,
+                   CAST(coalesce(sum(CAST(floor(value * 100) AS BIGINT)), 0)
+                        AS BIGINT) AS total_cents
+            FROM events
+            WHERE event_type = 'purchase' AND value >= 100.0
         """,
         "events_asof": """
             SELECT l.event_id, l.user_id,

@@ -502,3 +502,35 @@ def test_duplicate_line_removal_hot_cap_identical(ray_session):
     # sanity: the hot line survives exactly once, in doc 0
     assert base.loc[0, "text_clean"].startswith("MEGA HOT")
     assert (base.loc[1:, "text_clean"].str.contains("MEGA HOT") == False).all()
+
+
+def test_decontaminate_joined_matches_broadcast(ray_session):
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.decontam import (
+        decontaminate, decontaminate_joined, eval_shingle_set)
+
+    rng = np.random.RandomState(17)
+    words = [f"w{i}" for i in range(30)]
+    eval_texts = [" ".join(words[rng.randint(30)] for _ in range(20))
+                  for _ in range(10)]
+    train_texts = []
+    for d in range(120):
+        if d % 4 == 0:   # splice an eval passage into some train docs
+            ev = eval_texts[d % 10].split()
+            train_texts.append(" ".join(["pre"] + ev[3:11] + ["post"]))
+        else:
+            train_texts.append(" ".join(
+                words[rng.randint(30)] for _ in range(rng.randint(2, 25))))
+    train = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(120), pa.int64()),
+        "text": pa.array(train_texts)}))
+    evds = rd.from_arrow(pa.table({"text": pa.array(eval_texts)}))
+
+    a = (decontaminate(train, eval_shingle_set(eval_texts, k=5), k=5)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (decontaminate_joined(train.repartition(7), evds.repartition(3),
+                              k=5)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert (a["contaminated"].to_numpy() == b["contaminated"].to_numpy()).all()
+    assert (a["n_hits"].to_numpy() == b["n_hits"].to_numpy()).all()
+    assert a["contaminated"].any()       # the spliced passages do hit

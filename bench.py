@@ -6,8 +6,10 @@ Prints ONE JSON line:
    "extract_docs_per_sec": ...}
 
 `python bench.py --scaling` runs the same job in FRESH processes at
-num_cpus=8 and num_cpus=32 on the same (pre-generated, page-warm)
-input and reports both throughputs + scaling efficiency — the sandbox
+num_cpus=4 and num_cpus=16 (N vs 4N — 4/16 rather than 8/32 because a
+raw busy-loop probe shows the shared VM itself throttles at full
+width; see run_scaling) on the same (pre-generated, page-warm) input
+and reports both throughputs + scaling efficiency — the sandbox
 stand-in for the N vs 4N node criterion (see BASELINE.md).
 """
 

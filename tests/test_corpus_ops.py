@@ -534,3 +534,56 @@ def test_decontaminate_joined_matches_broadcast(ray_session):
     assert (a["contaminated"].to_numpy() == b["contaminated"].to_numpy()).all()
     assert (a["n_hits"].to_numpy() == b["n_hits"].to_numpy()).all()
     assert a["contaminated"].any()       # the spliced passages do hit
+
+
+# ---------------------------------------------------------------------------
+# hypothesis properties for the distributed prefix sum + line dedup
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(-10**6, 10**6),
+                          st.integers(0, 30)),
+                min_size=1, max_size=40, unique_by=lambda x: x[0]))
+def test_pack_offsets_property(ray_session, docs):
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.pack import pack_offsets
+
+    ids = [d[0] for d in docs]
+    texts = [" ".join("w" for _ in range(d[1])) for d in docs]
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts)})
+    got = (pack_offsets(rd.from_arrow(t).repartition(3), seq_len=16,
+                        num_buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    off = 0
+    for i in np.argsort(ids):
+        row = got[got["doc_id"] == ids[i]].iloc[0]
+        n = docs[i][1]
+        assert row["n_tokens"] == n
+        assert row["start_tok"] == off
+        assert row["first_seq"] == off // 16
+        assert row["last_seq"] == (off + n) // 16
+        off += n + 1
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(
+    ["a duplicated corpus line", "another repeated long line",
+     "xy", "", "some sufficiently long unique-ish line"]),
+    min_size=0, max_size=5), min_size=1, max_size=20))
+def test_duplicate_line_removal_property(ray_session, line_lists):
+    import ray.data as rd
+    docs = {i: "\n".join(lines) for i, lines in enumerate(line_lists)}
+    ref = _line_dedup_ref(docs)
+    t = pa.table({"doc_id": pa.array(sorted(docs), pa.int64()),
+                  "text": pa.array([docs[k] for k in sorted(docs)])})
+    got = (duplicate_line_removal(rd.from_arrow(t).repartition(3))
+           .to_pandas().set_index("doc_id"))
+    assert len(got) == len(docs)
+    for doc_id, (clean, n_lines, n_dropped) in ref.items():
+        assert got.loc[doc_id, "text_clean"] == clean, doc_id
+        assert got.loc[doc_id, "n_lines"] == n_lines
+        assert got.loc[doc_id, "n_dropped"] == n_dropped

@@ -784,6 +784,42 @@ def _events_range_join(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _forecast_revenue(sf_dir: str):
+    """TPC-H-Q6-shaped forecast-revenue: every predicate (discount
+    band, quantity cap) pushed into the parquet scan, two projected
+    columns, per-row integer-cents revenue, per-batch partials, one
+    global sum — the minimal full-scan aggregate done right."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_discount"],
+        filter=(pads.field("l_discount") >= 0.05)
+               & (pads.field("l_discount") <= 0.07)
+               & (pads.field("l_quantity") < 24.0))
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(
+            pc.multiply(t["l_extendedprice"], t["l_discount"]),
+            pa.scalar(100.0))), pa.int64())
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "cents": pa.array([pc.sum(cents).as_py() or 0], pa.int64()),
+        })
+
+    agg = (li.map_batches(partial, batch_format="pyarrow")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("cents", alias_name="cents")))
+    return pd.DataFrame({
+        "n_rows": pd.array([int(agg["n"] or 0)], dtype="int64"),
+        "revenue_cents": pd.array([int(agg["cents"] or 0)], dtype="int64"),
+    })
+
+
 def _lineitem_quantiles(sf_dir: str):
     """Exact grouped p50/p95 of extended price (integer cents) via the
     distinct-value histogram — scale-safe for low-cardinality groups."""
@@ -1126,6 +1162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_quantiles": _lineitem_quantiles,
         "lineitem_quantiles_tdigest": _lineitem_quantiles_tdigest,
         "lineitem_pricing": _lineitem_pricing,
+        "forecast_revenue": _forecast_revenue,
         "events_type_value": _events_type_value,
         # events
         "events_hourly": _events_hourly,
@@ -1693,6 +1730,15 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_charge_cents,
                    count(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "forecast_revenue": """
+            SELECT count(*) AS n_rows,
+                   CAST(coalesce(sum(CAST(floor(
+                        l_extendedprice * l_discount * 100) AS BIGINT)), 0)
+                        AS BIGINT) AS revenue_cents
+            FROM lineitem
+            WHERE l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24.0
         """,
         "lineitem_quantiles": """
             WITH vc AS (

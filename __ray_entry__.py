@@ -1081,6 +1081,167 @@ def _events_type_value(sf_dir: str):
                          Sum("n", alias_name="n_events")))
 
 
+def _star_join_region_revenue(sf_dir: str):
+    """Star join, THE broadcast pattern for 100 TB facts: the dimension
+    chain supplier→nation→region is pre-joined on the driver (it is tiny
+    and fully denormalizable), shipped to the object store ONCE as a
+    dense suppkey→region-code numpy array, and the lineitem fact table
+    streams through one map_batches that does an O(1) vectorized
+    take-lookup plus a per-batch partial revenue sum. Zero shuffle on
+    the fact side; the only groupby moves ≤ |regions| rows per block."""
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                        columns=["r_regionkey", "r_name"]).to_pandas()
+    dim = (sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+              .merge(reg, left_on="n_regionkey", right_on="r_regionkey"))
+    # dense lookup: suppkey → region code (int8), code → name; at real
+    # scale the array is |suppliers| bytes — broadcast once via ray.put,
+    # NOT re-shipped per batch (map_batches captures only the ObjectRef)
+    names = reg["r_name"].sort_values().to_numpy()
+    code_of = {n: i for i, n in enumerate(names)}
+    lut = np.full(int(dim["s_suppkey"].max()) + 1, -1, dtype=np.int8)
+    lut[dim["s_suppkey"].to_numpy()] = (
+        dim["r_name"].map(code_of).to_numpy().astype(np.int8))
+    lut_ref = ray.put(lut)
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_suppkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        table = ray.get(lut_ref)
+        codes = table[t["l_suppkey"].to_numpy()]
+        cents = pc.cast(pc.floor(pc.multiply(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0))), pa.int64()).to_numpy()
+        sums = np.zeros(len(names), dtype=np.int64)
+        np.add.at(sums, codes, cents)
+        return pa.table({"r_name": pa.array(names),
+                         "cents": pa.array(sums, type=pa.int64())})
+
+    return (li.map_batches(partial, batch_format="pyarrow")
+              .groupby("r_name")
+              .aggregate(Sum("cents", alias_name="revenue_cents")))
+
+
+def _customer_order_counts(sf_dir: str):
+    """TPC-H-Q13-shaped distribution: orders per customer INCLUDING
+    zero-order customers (left outer), histogrammed. The orders side is
+    pre-shrunk to (custkey, n) partials inside map_batches before the
+    only key-shuffle; the left join pads non-buyers with 0; the final
+    histogram is again partial-aggregated so the last groupby moves
+    ≤ |distinct counts| rows per block."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+    from ocr_table_extractor_to_csv_ray.functions.join import hash_join
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey"])
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        return pa.table({"c_custkey": g["o_custkey"],
+                         "n": pc.cast(g["o_custkey_count"], pa.int64())})
+
+    counts = (orders.map_batches(o_partial, batch_format="pyarrow")
+              .groupby("c_custkey").aggregate(Sum("n", alias_name="n")))
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey"])
+    joined = hash_join(cust, counts, key="c_custkey", num_buckets=16,
+                       how="left")
+
+    def hist_partial(b) -> pa.Table:
+        # unmatched customers carry NA n (float-upcast by the join pad);
+        # fill 0 and restore int64 before binning
+        n = b["n"].fillna(0).astype("int64")
+        vc = n.value_counts()
+        return pa.table({"n_orders": pa.array(vc.index.to_numpy(),
+                                              type=pa.int64()),
+                         "c": pa.array(vc.to_numpy(), type=pa.int64())})
+
+    return (joined.map_batches(hist_partial, batch_format="pandas")
+            .groupby("n_orders")
+            .aggregate(Sum("c", alias_name="n_customers")))
+
+
+def _customers_without_orders(sf_dir: str):
+    """Partitioned ANTI join: customers with no URGENT order. The right
+    side is filtered AT THE READ (predicate pushdown) then moves as
+    distinct keys only (per-batch dedup before the shuffle); each bucket
+    does a vectorized isin probe — a left row can never be duplicated,
+    unlike a left-join-then-filter plan."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    from ocr_table_extractor_to_csv_ray.functions.join import hash_semi_join
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_mktsegment"])
+    okeys = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey"],
+        filter=pds.field("o_orderpriority") == "1-URGENT")
+    okeys = okeys.map_batches(
+        lambda t: pa.table({"c_custkey": t["o_custkey"]}),
+        batch_format="pyarrow")
+    out = hash_semi_join(cust, okeys, key="c_custkey", anti=True)
+    # the union/pad upcasts c_custkey (NA-padded on the right side);
+    # restore the input dtype contract
+    return out.map_batches(
+        lambda t: pa.table({
+            "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "c_mktsegment": pc.cast(t["c_mktsegment"], pa.string()),
+        }), batch_format="pyarrow")
+
+
+def _events_latest_state(sf_dir: str):
+    """Latest-wins compaction (upsert / CDC merge): one row per
+    (user_id, event_type) — the max-(ts, event_id) version. Per-batch
+    partial argmax shrinks each block to ≤ one row per key before the
+    only shuffle; ties on ts broken by event_id so the winner is unique
+    and the output bit-reproducible under any block layout."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from ocr_table_extractor_to_csv_ray.functions.compact import latest_wins
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "ts",
+                                  "event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "t": pc.cast(t["ts"], pa.int64()),
+            "event_id": t["event_id"],
+            "cents": pc.cast(pc.floor(pc.multiply(t["value"],
+                                                  pa.scalar(100.0))),
+                             pa.int64()),
+        })
+
+    compacted = latest_wins(ev.map_batches(prep, batch_format="pyarrow"),
+                            keys=["user_id", "event_type"],
+                            order_by="t", tiebreak="event_id")
+    return compacted.map_batches(
+        lambda b: b.rename(columns={"t": "last_ts",
+                                    "event_id": "last_event_id",
+                                    "cents": "last_cents"}),
+        batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1155,6 +1316,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_doc_labels": _join_doc_labels,
         "join_orders_lineitem": _join_orders_lineitem,
         "revenue_by_segment": _revenue_by_segment,
+        "star_join_region_revenue": _star_join_region_revenue,
+        "customer_order_counts": _customer_order_counts,
+        "customers_without_orders": _customers_without_orders,
+        "events_latest_state": _events_latest_state,
         "events_sessions": _events_sessions,
         "events_asof": _events_asof,
         "events_window": _events_window,
@@ -1788,6 +1953,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders o ON c.c_custkey = o.o_custkey
             JOIN lineitem l ON o.o_orderkey = l.l_orderkey
             GROUP BY c.c_mktsegment
+        """,
+        "star_join_region_revenue": """
+            SELECT r.r_name,
+                   CAST(sum(CAST(floor(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "customer_order_counts": """
+            WITH per_cust AS (
+                SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+                FROM customer c
+                LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_custkey)
+            SELECT n_orders, count(*) AS n_customers
+            FROM per_cust GROUP BY n_orders
+        """,
+        "customers_without_orders": """
+            SELECT c.c_custkey, c.c_mktsegment
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+        """,
+        "events_latest_state": """
+            WITH v AS (
+                SELECT user_id, event_type, epoch_us(ts) AS last_ts,
+                       event_id AS last_event_id,
+                       CAST(floor(value * 100) AS BIGINT) AS last_cents,
+                       row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rn
+                FROM events)
+            SELECT user_id, event_type, last_ts, last_event_id, last_cents
+            FROM v WHERE rn = 1
         """,
         "events_sessions": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),

@@ -208,6 +208,82 @@ def hash_join(left, right, key: str, num_buckets: int = 32,
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
 
+def hash_semi_join(left, right, key: str, num_buckets: int = 32,
+                   anti: bool = False):
+    """Partitioned semi- / anti-join: left rows whose key does (semi) or
+    does not (anti) appear on the right. Only LEFT columns come out —
+    the right side is reduced to its DISTINCT keys before it moves.
+
+    Scale shape: the right side is projected to the key column and
+    deduplicated per batch in ``map_batches`` (a million repeats of one
+    key leave each block as one row), so the tagged-union shuffle moves
+    at most one right row per (key, block). Each bucket then does a
+    vectorized ``isin`` probe — no merge, no row multiplication, which
+    is what distinguishes this from ``hash_join(how='left')`` + filter:
+    a left row can never be duplicated by multiple right matches.
+
+    Same key-dtype contract as :func:`hash_join` (bucketing hashes the
+    key AS TYPED; both sides must agree on the dtype class).
+    """
+    lsch, rsch = left.schema(), right.schema()
+    left_cols = list(lsch.names)
+
+    def _cls(t) -> str:
+        s = str(t).lower()
+        if "bool" in s:
+            return "bool"
+        if "int" in s:
+            return "int"
+        if "float" in s or "double" in s or "decimal" in s:
+            return "float"
+        if "str" in s or "object" in s or "utf8" in s:
+            return "str"
+        return s
+
+    lt = dict(zip(lsch.names, lsch.types)).get(key)
+    rt = dict(zip(rsch.names, rsch.types)).get(key)
+    if lt is not None and rt is not None and _cls(lt) != _cls(rt):
+        raise ValueError(
+            f"hash_semi_join key dtype mismatch on {key!r}: left={lt}, "
+            f"right={rt} — cast both sides to one dtype before joining")
+
+    def _buckets(col: pd.Series) -> np.ndarray:
+        h = pd.util.hash_pandas_object(col, index=False).to_numpy()
+        return (h % np.uint64(num_buckets)).astype(np.int64)
+
+    def tag_left(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bucket"] = _buckets(b[key])
+        b["__side"] = "l"
+        return b[left_cols + ["__bucket", "__side"]]
+
+    def tag_right(b: pd.DataFrame) -> pd.DataFrame:
+        # distinct keys only — the local shrink that keeps the shuffle
+        # proportional to key cardinality, not right row count
+        kb = b[[key]].drop_duplicates()
+        out = pd.DataFrame({key: kb[key].to_numpy()})
+        for c in left_cols:
+            if c not in out.columns:
+                out[c] = pd.NA
+        out["__bucket"] = _buckets(out[key])
+        out["__side"] = "r"
+        return out[left_cols + ["__bucket", "__side"]]
+
+    lt_ds = left.map_batches(tag_left, batch_format="pandas")
+    rt_ds = right.map_batches(tag_right, batch_format="pandas")
+    both = lt_ds.union(rt_ds)
+
+    def probe_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == "l"]
+        rkeys = g.loc[g["__side"] == "r", key]
+        hit = l[key].isin(set(rkeys)).to_numpy()
+        keep = ~hit if anti else hit
+        return l.loc[keep, left_cols]
+
+    return both.groupby("__bucket").map_groups(probe_bucket,
+                                               batch_format="pandas")
+
+
 def pair_by_stem(image_paths: Sequence[str], hocr_paths: Sequence[str]
                  ) -> List[Tuple[str, str]]:
     """J2 (``dataset_cli.py:39-67``): for each image, the hOCR file with

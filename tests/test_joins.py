@@ -346,3 +346,59 @@ def test_range_join_buckets_and_boundaries(ray_session):
     assert out == [(1, 10), (2, 10), (2, 11), (3, 10)]
     none = range_join(points.filter(lambda r: False), intervals).take_all()
     assert none == []
+
+
+def test_hash_semi_join_semi_and_anti(ray_session):
+    """Semi keeps each matching left row ONCE (no multiplication by
+    multiple right matches); anti is the exact complement; right-side
+    duplicates are irrelevant."""
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.join import hash_semi_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4, 4], "v": list("abcde")})
+    # key 2 appears 3×, key 4 once — multiplicity must not leak through
+    right = pd.DataFrame({"k": [2, 2, 2, 4], "w": [9, 9, 9, 9]})
+    semi = (hash_semi_join(rd.from_pandas(left), rd.from_pandas(right),
+                           "k", num_buckets=3)
+            .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+    assert list(semi["v"]) == ["b", "d", "e"]
+    assert list(semi.columns) == ["k", "v"]          # left columns only
+    anti = (hash_semi_join(rd.from_pandas(left), rd.from_pandas(right),
+                           "k", num_buckets=3, anti=True)
+            .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+    assert list(anti["v"]) == ["a", "c"]
+    # semi + anti partition the left side exactly
+    assert len(semi) + len(anti) == len(left)
+
+
+def test_hash_semi_join_dtype_guard(ray_session):
+    import pytest
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.join import hash_semi_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": [1, 2]}))
+    right = rd.from_pandas(pd.DataFrame({"k": [1.0, 2.0]}))
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        hash_semi_join(left, right, "k")
+
+
+def test_latest_wins_compaction(ray_session):
+    """Max-(order_by, tiebreak) row survives per key under any block
+    layout; ts ties break by the tiebreak column."""
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.compact import latest_wins
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, 3],
+        "t": [10, 30, 30, 5, 7, 1],
+        "ver": [100, 101, 102, 200, 201, 300],   # unique tiebreak
+        "payload": list("abcdef"),
+    })
+    for parts in (1, 4):
+        ds = rd.from_pandas(df).repartition(parts)
+        out = (latest_wins(ds, keys=["k"], order_by="t", tiebreak="ver")
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        # k=1: t ties at 30 → ver 102 wins; k=2: t=7; k=3: only row
+        assert list(out["ver"]) == [102, 201, 300]
+        assert list(out["payload"]) == ["c", "e", "f"]
+        assert list(out.columns) == ["k", "t", "ver", "payload"]

@@ -68,8 +68,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
        .count())
 
     # the box's neighbor noise is bursty (see run_scaling) — wait
-    # (bounded) for a quiet window before the timed section
-    _wait_quiet(_cpu_probe(), max_wait=180.0)
+    # (bounded) for a quiet window before the timed section. The rate
+    # actually measured right before timing goes into the output JSON:
+    # absolute wall times are only comparable across (re-provisioned)
+    # boxes after normalizing by this calibration constant.
+    probe_rate = _wait_probe_rate()
 
     timings: dict[str, float] = {}
 
@@ -107,6 +110,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "sf": float(sf_m.group(1).rstrip(".")) if sf_m else None,
             "num_cpus": num_cpus, "extract_docs": n_docs,
             "extract_docs_per_sec": round(n_docs / timings["extract_dynamic_write"], 1),
+            "cpu_probe_rate": round(probe_rate, 1),
         }
         ray.shutdown()
         return result
@@ -138,6 +142,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "num_cpus": num_cpus,
         "extract_docs": n_docs,
         "extract_docs_per_sec": round(n_docs / timings["extract_dynamic_write"], 1),
+        "cpu_probe_rate": round(probe_rate, 1),
     }
     ray.shutdown()
     return result
@@ -182,6 +187,20 @@ def _store_best_rate(rate: float) -> None:
             json.dump({"rate": rate}, fh)
     except OSError:
         pass
+
+
+def _wait_probe_rate(max_wait: float = 180.0) -> float:
+    """Wait (bounded) for a quiet window, then return the rate of one
+    final probe taken immediately before the timed section — the
+    box-speed calibration constant reported in the bench JSON.
+
+    The constant matters because every round may land on a freshly
+    provisioned VM: identical code has measured 4–5× apart across boxes
+    (round-3 log: extract_dynamic_write 4.3 s on one box, a stable
+    22 s on the next, probe rates in proportion). docs_per_sec ÷
+    cpu_probe_rate is the box-independent figure of merit."""
+    _wait_quiet(_cpu_probe(), max_wait=max_wait)
+    return _cpu_probe()
 
 
 def _wait_quiet(best: float, max_wait: float = 300.0) -> float:
@@ -253,6 +272,10 @@ def run_scaling(sf_dir: str) -> dict:
         "docs_per_sec_lo": round(n_docs / t_lo, 1),
         "docs_per_sec_hi": round(n_docs / t_hi, 1),
         "scaling_efficiency": round(eff, 3),
+        # box-speed calibration (see _wait_probe_rate): best busy-loop
+        # rate observed across the run — normalizes wall times across
+        # re-provisioned VMs of different per-core speed
+        "cpu_probe_rate_best": round(best_rate, 1),
     }
 
 

@@ -1242,6 +1242,108 @@ def _events_latest_state(sf_dir: str):
         batch_format="pandas")
 
 
+def _doc_rank_by_length(sf_dir: str):
+    """Global rank WITHOUT a global sort: rank() semantics over a
+    bounded-cardinality key via a histogram CDF. Pass 1 builds per-batch
+    value counts of n_chars and reduces them in a tiny groupby (the
+    result is |distinct lengths| rows, not |docs|); the driver cumsums
+    that histogram once and broadcasts (values, count-below) via
+    ray.put; pass 2 streams the table again assigning
+    rank = 1 + count_below via vectorized searchsorted. At 100 TB the
+    all-to-all a `sort` would need never happens — the only shuffle
+    moves the histogram. Assumption (documented contract): the rank key
+    has bounded cardinality (ints/enums/buckets), so the CDF fits every
+    worker."""
+    import ray
+    import ray.data as rd
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = rd.read_parquet(path, columns=["doc_id", "n_chars"])
+
+    def vc_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("n_chars").aggregate([("n_chars", "count")])
+        return pa.table({"n_chars": g["n_chars"],
+                         "c": pc.cast(g["n_chars_count"], pa.int64())})
+
+    hist = (docs.map_batches(vc_partial, batch_format="pyarrow")
+            .groupby("n_chars").aggregate(Sum("c", alias_name="c"))
+            .to_pandas().sort_values("n_chars"))
+    vals = hist["n_chars"].to_numpy()
+    cum = np.cumsum(hist["c"].to_numpy())
+    below = np.concatenate([[0], cum[:-1]])
+    cdf_ref = ray.put((vals, below))
+
+    def assign(t: pa.Table) -> pa.Table:
+        v, b = ray.get(cdf_ref)
+        idx = np.searchsorted(v, t["n_chars"].to_numpy())
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": t["n_chars"],
+            "length_rank": pa.array(b[idx] + 1, type=pa.int64()),
+        })
+
+    return docs.map_batches(assign, batch_format="pyarrow")
+
+
+def _corpus_rollup(sf_dir: str):
+    """ROLLUP(lang, source) derived from the FINEST grain only: one
+    streaming pass computes per-batch (lang, source) partials reduced by
+    a tiny groupby; the coarser levels re-aggregate that small result —
+    the 100 TB input is read once no matter how many rollup levels.
+    Upper levels carry NULL in the rolled-up columns, matching SQL
+    ROLLUP output."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = rd.read_parquet(path, columns=["lang", "source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "source"]).aggregate(
+            [("n_chars", "sum"), ("n_chars", "count")])
+        return pa.table({
+            "lang": g["lang"], "source": g["source"],
+            "chars": pc.cast(g["n_chars_sum"], pa.int64()),
+            "docs": pc.cast(g["n_chars_count"], pa.int64()),
+        })
+
+    finest = (docs.map_batches(partial, batch_format="pyarrow")
+              .groupby(["lang", "source"])
+              .aggregate(Sum("chars", alias_name="chars"),
+                         Sum("docs", alias_name="docs")))
+
+    schema = pa.schema([("lang", pa.string()), ("source", pa.string()),
+                        ("chars", pa.int64()), ("docs", pa.int64())])
+
+    def full_schema(t: pa.Table) -> pa.Table:
+        return t.select(["lang", "source", "chars", "docs"]).cast(schema)
+
+    by_lang = (finest.groupby("lang")
+               .aggregate(Sum("chars", alias_name="chars"),
+                          Sum("docs", alias_name="docs"))
+               .map_batches(lambda t: t.append_column(
+                   "source", pa.nulls(t.num_rows, pa.string()))
+                   .select(["lang", "source", "chars", "docs"]).cast(schema),
+                   batch_format="pyarrow"))
+    # grand total: keyless Sum over the tiny finest Dataset — one row
+    tot = finest.aggregate(Sum("chars", alias_name="chars"),
+                           Sum("docs", alias_name="docs"))
+    grand_tbl = pa.table({
+        "lang": pa.array([None], pa.string()),
+        "source": pa.array([None], pa.string()),
+        "chars": pa.array([tot["chars"]], pa.int64()),
+        "docs": pa.array([tot["docs"]], pa.int64()),
+    })
+    grand_ds = rd.from_arrow(grand_tbl)
+
+    return (finest.map_batches(full_schema, batch_format="pyarrow")
+            .union(by_lang).union(grand_ds))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1320,6 +1422,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": _customer_order_counts,
         "customers_without_orders": _customers_without_orders,
         "events_latest_state": _events_latest_state,
+        "doc_rank_by_length": _doc_rank_by_length,
+        "corpus_rollup": _corpus_rollup,
         "events_sessions": _events_sessions,
         "events_asof": _events_asof,
         "events_window": _events_window,
@@ -1980,6 +2084,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderpriority = '1-URGENT')
+        """,
+        "doc_rank_by_length": """
+            SELECT doc_id, n_chars,
+                   rank() OVER (ORDER BY n_chars) AS length_rank
+            FROM documents
+        """,
+        "corpus_rollup": """
+            SELECT lang, source,
+                   CAST(sum(n_chars) AS BIGINT) AS chars,
+                   count(*) AS docs
+            FROM documents
+            GROUP BY ROLLUP(lang, source)
         """,
         "events_latest_state": """
             WITH v AS (

@@ -587,3 +587,58 @@ def test_duplicate_line_removal_property(ray_session, line_lists):
         assert got.loc[doc_id, "text_clean"] == clean, doc_id
         assert got.loc[doc_id, "n_lines"] == n_lines
         assert got.loc[doc_id, "n_dropped"] == n_dropped
+
+
+def test_doc_rank_by_length_matches_sql_rank(ray_session, tmp_path):
+    """Histogram-CDF global rank == SQL rank() (ties share min rank),
+    independent of block layout, no sort in the plan."""
+    import duckdb
+    import numpy as np
+    import __ray_entry__ as E
+
+    rng = np.random.default_rng(11)
+    n = 500
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "text": pa.array(["x"] * n),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(["web"] * n),
+        # few distinct lengths → heavy ties, the hard case for rank()
+        "n_chars": pa.array(rng.integers(10, 25, n), pa.int64()),
+    })
+    import pyarrow.parquet as pq
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = (E._doc_rank_by_length(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = duckdb.sql(
+        "SELECT doc_id, n_chars, rank() OVER (ORDER BY n_chars) AS length_rank "
+        f"FROM read_parquet('{tmp_path}/documents.parquet') ORDER BY doc_id"
+    ).df()
+    assert (got["length_rank"].to_numpy() == want["length_rank"].to_numpy()).all()
+    assert got["length_rank"].dtype == np.int64
+
+
+def test_corpus_rollup_levels(ray_session, tmp_path):
+    """All three ROLLUP levels present; upper levels NULL-padded; totals
+    consistent across levels."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import __ray_entry__ as E
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a", "b", "c", "d"]),
+        "lang": pa.array(["en", "en", "de", "de"]),
+        "source": pa.array(["web", "pdf", "web", "web"]),
+        "n_chars": pa.array([10, 20, 30, 40], pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = E._corpus_rollup(str(tmp_path)).to_pandas()
+    grand = out[out["lang"].isna()]
+    assert len(grand) == 1 and grand["chars"].iloc[0] == 100 \
+        and grand["docs"].iloc[0] == 4
+    langs = out[out["lang"].notna() & out["source"].isna()]
+    assert dict(zip(langs["lang"], langs["chars"])) == {"en": 30, "de": 70}
+    finest = out[out["source"].notna()]
+    assert len(finest) == 3           # (en,web) (en,pdf) (de,web)
+    assert finest["chars"].sum() == 100 and finest["docs"].sum() == 4

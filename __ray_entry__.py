@@ -1344,6 +1344,120 @@ def _corpus_rollup(sf_dir: str):
             .union(by_lang).union(grand_ds))
 
 
+_FUNNEL_SENTINEL = (1 << 62)
+
+
+def _funnel_conversion(sf_dir: str):
+    """First-touch ordered funnel view → click → purchase. Stage 1:
+    per-batch conditional-min partials per user (3 sentinel-padded int64
+    columns — a user's million events leave each block as one row) →
+    per-user groupby Min. Stage 2: per-batch flag counts → keyless Sum.
+    Two shuffles, both at per-user grain or smaller; the event table
+    itself never shuffles."""
+    import ray.data as rd
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min, Sum
+
+    S = _FUNNEL_SENTINEL
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "ts"])
+
+    def partial_min(b) -> pa.Table:
+        t = b["ts"].astype("int64")
+        out = {"user_id": b["user_id"]}
+        frame = {"user_id": b["user_id"].to_numpy()}
+        for step in ("view", "click", "purchase"):
+            frame[f"t_{step}"] = np.where(
+                (b["event_type"] == step).to_numpy(), t.to_numpy(), S)
+        import pandas as pd
+        g = pd.DataFrame(frame).groupby("user_id", as_index=False).min()
+        for c in ("t_view", "t_click", "t_purchase"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    mins = (ev.map_batches(partial_min, batch_format="pandas")
+            .groupby("user_id")
+            .aggregate(Min("t_view", alias_name="t_view"),
+                       Min("t_click", alias_name="t_click"),
+                       Min("t_purchase", alias_name="t_purchase")))
+
+    def flags(t: pa.Table) -> pa.Table:
+        v = t["t_view"].to_numpy()
+        c = t["t_click"].to_numpy()
+        p = t["t_purchase"].to_numpy()
+        f1 = v < S
+        f2 = (c < S) & (c > v)
+        f3 = f2 & (p < S) & (p > c)
+        return pa.table({
+            "n_view": pa.array([int(f1.sum())], pa.int64()),
+            "n_view_click": pa.array([int(f2.sum())], pa.int64()),
+            "n_full_funnel": pa.array([int(f3.sum())], pa.int64()),
+        })
+
+    counted = mins.map_batches(flags, batch_format="pyarrow")
+    tot = counted.aggregate(Sum("n_view", alias_name="n_view"),
+                            Sum("n_view_click", alias_name="n_view_click"),
+                            Sum("n_full_funnel", alias_name="n_full_funnel"))
+    import pandas as pd
+    return pd.DataFrame([{k: int(tot[k]) for k in
+                          ("n_view", "n_view_click", "n_full_funnel")}])
+
+
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def _user_retention_cohorts(sf_dir: str):
+    """Weekly retention cohorts: users grouped by first-seen week,
+    counted per active week offset. Per-batch distinct-(user, week)
+    shrink BEFORE the only per-user shuffle (a user's thousandth event
+    in a week adds nothing to the exchange); cohort = min(week) inside
+    map_groups — no join back, because week(min ts) ≡ min(week); the
+    final matrix aggregation is again partial-first."""
+    import ray.data as rd
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        week = pc.divide(pc.cast(t["ts"], pa.int64()), _WEEK_US)
+        tt = pa.table({"user_id": t["user_id"], "week": week})
+        g = tt.group_by(["user_id", "week"]).aggregate([])
+        return g
+
+    def offsets(g) -> "pa.Table":
+        # the per-batch distinct only dedups within a block; the same
+        # (user, week) can arrive from several blocks — finish the
+        # dedup here, where the user's rows are co-located
+        weeks = np.unique(g["week"].to_numpy())
+        cohort = int(weeks.min())
+        import pandas as pd
+        return pd.DataFrame({
+            "cohort_week": np.full(len(weeks), cohort, dtype=np.int64),
+            "week_offset": weeks - cohort,
+        })
+
+    per_user = (ev.map_batches(distinct_partial, batch_format="pyarrow")
+                .groupby("user_id")
+                .map_groups(offsets, batch_format="pandas"))
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["cohort_week", "week_offset"]).aggregate(
+            [("cohort_week", "count")])
+        return pa.table({
+            "cohort_week": g["cohort_week"],
+            "week_offset": g["week_offset"],
+            "c": pc.cast(g["cohort_week_count"], pa.int64()),
+        })
+
+    return (per_user.map_batches(count_partial, batch_format="pyarrow")
+            .groupby(["cohort_week", "week_offset"])
+            .aggregate(Sum("c", alias_name="n_users")))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1424,6 +1538,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest_state": _events_latest_state,
         "doc_rank_by_length": _doc_rank_by_length,
         "corpus_rollup": _corpus_rollup,
+        "funnel_conversion": _funnel_conversion,
+        "user_retention_cohorts": _user_retention_cohorts,
         "events_sessions": _events_sessions,
         "events_asof": _events_asof,
         "events_window": _events_window,
@@ -2096,6 +2212,34 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS docs
             FROM documents
             GROUP BY ROLLUP(lang, source)
+        """,
+        "funnel_conversion": """
+            WITH m AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'view'
+                                THEN epoch_us(ts) END) AS t_view,
+                       min(CASE WHEN event_type = 'click'
+                                THEN epoch_us(ts) END) AS t_click,
+                       min(CASE WHEN event_type = 'purchase'
+                                THEN epoch_us(ts) END) AS t_purchase
+                FROM events GROUP BY user_id)
+            SELECT count(*) FILTER (WHERE t_view IS NOT NULL) AS n_view,
+                   count(*) FILTER (WHERE t_click > t_view) AS n_view_click,
+                   count(*) FILTER (WHERE t_click > t_view
+                                      AND t_purchase > t_click)
+                       AS n_full_funnel
+            FROM m
+        """,
+        "user_retention_cohorts": """
+            WITH w AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // 604800000000 AS week
+                       FROM events),
+            c AS (SELECT user_id, min(week) AS cohort_week
+                  FROM w GROUP BY user_id)
+            SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+                   count(*) AS n_users
+            FROM w JOIN c ON w.user_id = c.user_id
+            GROUP BY c.cohort_week, week_offset
         """,
         "events_latest_state": """
             WITH v AS (

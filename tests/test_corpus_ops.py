@@ -642,3 +642,60 @@ def test_corpus_rollup_levels(ray_session, tmp_path):
     finest = out[out["source"].notna()]
     assert len(finest) == 3           # (en,web) (en,pdf) (de,web)
     assert finest["chars"].sum() == 100 and finest["docs"].sum() == 4
+
+
+def _write_events(tmp_path, rows):
+    import pyarrow.parquet as pq
+    us = 1_000_000
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([r[2] * us for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+
+
+def test_funnel_conversion_ordering(ray_session, tmp_path):
+    """Only strictly-ordered first-touch sequences count; a purchase
+    BEFORE the first click must not convert."""
+    import __ray_entry__ as E
+    rows = [
+        # user 1: full ordered funnel
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # user 2: view then click, purchase BEFORE click → not full
+        (2, "view", 10), (2, "purchase", 15), (2, "click", 20),
+        # user 3: click before view → no view_click
+        (3, "click", 5), (3, "view", 10),
+        # user 4: view only
+        (4, "view", 10),
+        # user 5: no view at all
+        (5, "click", 1), (5, "purchase", 2),
+    ]
+    _write_events(tmp_path, rows)
+    out = E._funnel_conversion(str(tmp_path))
+    assert out.iloc[0].to_dict() == {
+        "n_view": 4, "n_view_click": 2, "n_full_funnel": 1}
+
+
+def test_user_retention_cohorts_offsets(ray_session, tmp_path):
+    """Cohort = first-seen week; duplicates within a week collapse;
+    result invariant under block layout (the cross-block dedup case)."""
+    import ray.data as rd
+    import __ray_entry__ as E
+    wk = 7 * 24 * 3600
+    rows = (
+        # user 1: weeks 0, 0, 2 (dup in week 0)
+        [(1, "view", 10), (1, "view", 20), (1, "view", 2 * wk + 5)]
+        # user 2: weeks 1, 2
+        + [(2, "view", wk + 1), (2, "view", 2 * wk + 1)]
+        # user 3: many events same week → single (cohort 0, offset 0)
+        + [(3, "view", i * 100) for i in range(50)]
+    )
+    _write_events(tmp_path, rows)
+    out = (E._user_retention_cohorts(str(tmp_path)).to_pandas()
+           .sort_values(["cohort_week", "week_offset"]).reset_index(drop=True))
+    got = {(r.cohort_week, r.week_offset): r.n_users for r in out.itertuples()}
+    assert got == {(0, 0): 2, (0, 2): 1, (1, 0): 1, (1, 1): 1}

@@ -128,7 +128,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # the new total
     for q in ("extract_generic", "extract_transformers", "dataset_builder",
               "dedup_minhash", "knn_cosine", "events_hourly", "doc_token_stats",
-              "dedup_lines", "corpus_prep", "revenue_by_segment"):
+              "dedup_lines", "corpus_prep", "revenue_by_segment",
+              "star_join_region_revenue", "events_latest_state"):
         timed(q, lambda q=q: consume(q))
 
     total = round(sum(timings.values()), 3)

@@ -1120,7 +1120,14 @@ def _star_join_region_revenue(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         table = ray.get(lut_ref)
-        codes = table[t["l_suppkey"].to_numpy()]
+        keys = t["l_suppkey"].to_numpy()
+        if keys.size and (keys.min() < 0 or keys.max() >= table.size
+                          or table[keys].min() < 0):
+            # a fact row referencing an unknown dimension key would
+            # silently wrap into sums[-1] — fail loudly instead
+            raise ValueError("star join: l_suppkey outside the "
+                             "broadcast supplier dimension")
+        codes = table[keys]
         cents = pc.cast(pc.floor(pc.multiply(pc.multiply(
             t["l_extendedprice"],
             pc.subtract(pa.scalar(1.0), t["l_discount"])),
@@ -1365,7 +1372,6 @@ def _funnel_conversion(sf_dir: str):
 
     def partial_min(b) -> pa.Table:
         t = b["ts"].astype("int64")
-        out = {"user_id": b["user_id"]}
         frame = {"user_id": b["user_id"].to_numpy()}
         for step in ("view", "click", "purchase"):
             frame[f"t_{step}"] = np.where(

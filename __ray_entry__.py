@@ -1464,6 +1464,79 @@ def _user_retention_cohorts(sf_dir: str):
             .aggregate(Sum("c", alias_name="n_users")))
 
 
+def _docs_above_lang_avg(sf_dir: str):
+    """Correlated-subquery shape ("rows above their group's average")
+    WITHOUT a join: pass 1 computes exact int64 (sum, count) per lang —
+    a tiny partial-aggregated groupby; the driver derives each group's
+    mean with ONE double division (both engines divide the same exact
+    integers, so the float compares identically) and broadcasts the
+    small map; pass 2 streams the table filtering vectorized. The
+    group-average table at 100 TB is |groups| rows — never joined,
+    never shuffled with the data."""
+    import ray
+    import ray.data as rd
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = rd.read_parquet(path, columns=["doc_id", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang").aggregate(
+            [("n_chars", "sum"), ("n_chars", "count")])
+        return pa.table({
+            "lang": g["lang"],
+            "s": pc.cast(g["n_chars_sum"], pa.int64()),
+            "c": pc.cast(g["n_chars_count"], pa.int64()),
+        })
+
+    agg = (docs.map_batches(partial, batch_format="pyarrow")
+           .groupby("lang").aggregate(Sum("s", alias_name="s"),
+                                      Sum("c", alias_name="c"))
+           .to_pandas())
+    avg = {r.lang: r.s / r.c for r in agg.itertuples()}
+    avg_ref = ray.put(avg)
+
+    def flt(b) -> "pa.Table":
+        a = ray.get(avg_ref)
+        thr = b["lang"].map(a).to_numpy(dtype=np.float64)
+        keep = b["n_chars"].to_numpy() > thr
+        return pa.Table.from_pandas(
+            b.loc[keep, ["doc_id", "lang", "n_chars"]], preserve_index=False)
+
+    return docs.map_batches(flt, batch_format="pandas")
+
+
+def _event_gap_histogram(sf_dir: str):
+    """LAG-shaped ordered window: distribution of per-user inter-event
+    gaps, bucketed by minute. Per-user sort happens inside map_groups
+    after the single per-user shuffle; the histogram is partial-counted
+    per group output before the tiny final groupby."""
+    import ray.data as rd
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+
+    def gaps(g) -> "pa.Table":
+        t = np.sort(g["ts"].to_numpy().astype("datetime64[us]")
+                    .astype(np.int64))
+        import pandas as pd
+        if len(t) < 2:
+            return pd.DataFrame({"gap_minutes": pd.Series([], dtype="int64"),
+                                 "c": pd.Series([], dtype="int64")})
+        mins = (t[1:] - t[:-1]) // 60_000_000
+        vals, counts = np.unique(mins, return_counts=True)
+        return pd.DataFrame({"gap_minutes": vals.astype("int64"),
+                             "c": counts.astype("int64")})
+
+    return (ev.groupby("user_id").map_groups(gaps, batch_format="pandas")
+            .groupby("gap_minutes").aggregate(Sum("c", alias_name="n_gaps")))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1546,6 +1619,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_rollup": _corpus_rollup,
         "funnel_conversion": _funnel_conversion,
         "user_retention_cohorts": _user_retention_cohorts,
+        "docs_above_lang_avg": _docs_above_lang_avg,
+        "event_gap_histogram": _event_gap_histogram,
         "events_sessions": _events_sessions,
         "events_asof": _events_asof,
         "events_window": _events_window,
@@ -2218,6 +2293,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS docs
             FROM documents
             GROUP BY ROLLUP(lang, source)
+        """,
+        "docs_above_lang_avg": """
+            WITH a AS (
+                SELECT lang,
+                       CAST(sum(n_chars) AS DOUBLE) / count(*) AS m
+                FROM documents GROUP BY lang)
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN a ON d.lang = a.lang
+            WHERE d.n_chars > a.m
+        """,
+        "event_gap_histogram": """
+            WITH g AS (
+                SELECT epoch_us(ts)
+                       - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                 ORDER BY ts) AS gap
+                FROM events)
+            SELECT gap // 60000000 AS gap_minutes, count(*) AS n_gaps
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY gap_minutes
         """,
         "funnel_conversion": """
             WITH m AS (

@@ -699,3 +699,37 @@ def test_user_retention_cohorts_offsets(ray_session, tmp_path):
            .sort_values(["cohort_week", "week_offset"]).reset_index(drop=True))
     got = {(r.cohort_week, r.week_offset): r.n_users for r in out.itertuples()}
     assert got == {(0, 0): 2, (0, 2): 1, (1, 0): 1, (1, 1): 1}
+
+
+def test_docs_above_lang_avg_boundary(ray_session, tmp_path):
+    """Strictly-above semantics: a doc exactly AT the group mean is
+    excluded; single-doc groups never qualify (n == mean)."""
+    import pyarrow.parquet as pq
+    import __ray_entry__ as E
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["x"] * 5),
+        "lang": pa.array(["en", "en", "en", "de", "fr"]),
+        "source": pa.array(["web"] * 5),
+        # en: 10, 20, 30 → mean 20; doc 2 AT the mean must not pass
+        "n_chars": pa.array([10, 20, 30, 7, 9], pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = E._docs_above_lang_avg(str(tmp_path)).to_pandas()
+    assert sorted(out["doc_id"]) == [3]
+
+
+def test_event_gap_histogram_semantics(ray_session, tmp_path):
+    """Gaps are per-user consecutive differences bucketed by minute;
+    single-event users contribute nothing; tie order is irrelevant."""
+    import __ray_entry__ as E
+    rows = [
+        (1, "view", 0), (1, "view", 59), (1, "view", 59 + 61),   # gaps 0min, 1min
+        (2, "view", 100), (2, "view", 100), (2, "view", 100 + 3600),  # 0min, 60min
+        (3, "view", 42),                                          # no gap
+    ]
+    _write_events(tmp_path, rows)
+    out = (E._event_gap_histogram(str(tmp_path)).to_pandas()
+           .sort_values("gap_minutes").reset_index(drop=True))
+    got = dict(zip(out["gap_minutes"], out["n_gaps"]))
+    assert got == {0: 2, 1: 1, 60: 1}

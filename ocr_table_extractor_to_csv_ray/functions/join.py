@@ -247,6 +247,23 @@ def hash_semi_join(left, right, key: str, num_buckets: int = 32,
             f"hash_semi_join key dtype mismatch on {key!r}: left={lt}, "
             f"right={rt} — cast both sides to one dtype before joining")
 
+    def _np_dtype(t):
+        # left-schema types arrive as numpy dtypes (pandas blocks) or
+        # arrow types (arrow blocks); normalize to a numpy dtype so the
+        # probe can undo the NA-pad object-upcast on its output
+        import numpy as _np
+        try:
+            return _np.dtype(t)
+        except TypeError:
+            try:
+                return _np.dtype(t.to_pandas_dtype())
+            except (TypeError, NotImplementedError):
+                return None
+
+    left_dtypes = {c: d for c, d in
+                   ((c, _np_dtype(t)) for c, t in zip(lsch.names, lsch.types))
+                   if d is not None and d != np.dtype("O")}
+
     def _buckets(col: pd.Series) -> np.ndarray:
         h = pd.util.hash_pandas_object(col, index=False).to_numpy()
         return (h % np.uint64(num_buckets)).astype(np.int64)
@@ -278,7 +295,14 @@ def hash_semi_join(left, right, key: str, num_buckets: int = 32,
         rkeys = g.loc[g["__side"] == "r", key]
         hit = l[key].isin(set(rkeys)).to_numpy()
         keep = ~hit if anti else hit
-        return l.loc[keep, left_cols]
+        out = l.loc[keep, left_cols]
+        # the union's NA-padded right rows object-upcast the combined
+        # group block; restore the left side's input dtypes so the
+        # output schema is stable (including when empty)
+        for c, d in left_dtypes.items():
+            if out[c].dtype != d:
+                out = out.assign(**{c: out[c].astype(d)})
+        return out
 
     return both.groupby("__bucket").map_groups(probe_bucket,
                                                batch_format="pandas")

@@ -104,3 +104,69 @@ def test_layout_dispatch_schema_batch_invariant(corpus_200):
         "layout", pa.array(["dynamic"] * 4 + ["generic"] * 4))
     out2 = extract_batch(with_dyn, LayoutConfig(layout="generic"))
     assert out.schema == out2.schema
+
+
+def test_hash_semi_join_property_vs_pandas(ray_session):
+    """Randomized semi/anti joins equal the pandas isin reference for
+    any key overlap pattern and any bucket count."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.join import hash_semi_join
+
+    rng = np.random.default_rng(23)
+    for trial in range(5):
+        nl, nr = rng.integers(1, 400, 2)
+        left = pd.DataFrame({
+            "k": rng.integers(0, 60, nl),
+            "v": rng.integers(0, 1000, nl),
+        })
+        right = pd.DataFrame({"k": rng.integers(0, 60, nr)})
+        buckets = int(rng.integers(1, 9))
+        for anti in (False, True):
+            got = (hash_semi_join(rd.from_pandas(left).repartition(3),
+                                  rd.from_pandas(right).repartition(2),
+                                  "k", num_buckets=buckets, anti=anti)
+                   .to_pandas())
+            mask = left["k"].isin(set(right["k"]))
+            want = (left[~mask if anti else mask]
+                    .sort_values(["k", "v"]).reset_index(drop=True))
+            assert len(got) == len(want), (trial, anti)
+            if not len(want):
+                continue       # fully-empty result: row count is the check
+            got = got.sort_values(["k", "v"]).reset_index(drop=True)
+            assert (got["k"].to_numpy(dtype=np.int64)
+                    == want["k"].to_numpy(dtype=np.int64)).all(), (trial, anti)
+            assert (got["v"].to_numpy(dtype=np.int64)
+                    == want["v"].to_numpy(dtype=np.int64)).all(), (trial, anti)
+
+
+def test_latest_wins_property_vs_pandas(ray_session):
+    """Randomized latest-wins compaction equals the pandas sort+tail
+    reference; duplicates of (order_by, tiebreak) never occur by
+    construction (unique tiebreak), so the winner is unique."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.compact import latest_wins
+
+    rng = np.random.default_rng(29)
+    for trial in range(5):
+        n = int(rng.integers(1, 500))
+        df = pd.DataFrame({
+            "k1": rng.integers(0, 12, n),
+            "k2": rng.integers(0, 3, n),
+            "t": rng.integers(0, 40, n),          # heavy ts ties
+            "ver": rng.permutation(n),            # unique tiebreak
+            "payload": rng.integers(0, 10**6, n),
+        })
+        got = (latest_wins(rd.from_pandas(df).repartition(4),
+                           keys=["k1", "k2"], order_by="t", tiebreak="ver")
+               .to_pandas().sort_values(["k1", "k2"]).reset_index(drop=True))
+        want = (df.sort_values(["t", "ver"], kind="mergesort")
+                .groupby(["k1", "k2"], as_index=False).tail(1)
+                .sort_values(["k1", "k2"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[["k1", "k2", "t", "ver", "payload"]].astype("int64"),
+            want[["k1", "k2", "t", "ver", "payload"]].astype("int64"),
+            check_exact=True)

@@ -1537,6 +1537,43 @@ def _event_gap_histogram(sf_dir: str):
             .groupby("gap_minutes").aggregate(Sum("c", alias_name="n_gaps")))
 
 
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _user_feature_pivot(sf_dir: str):
+    """Wide conditional-aggregation pivot — the feature-engineering
+    staple (one row per user, one count + value column per event
+    type). The pivot happens INSIDE the per-batch partial (vectorized
+    one-hot multiply), so the shuffle carries the already-wide small
+    rows and the final groupby is plain Sums; event types are a fixed
+    vocabulary (the schema contract of any pivot)."""
+    import ray.data as rd
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "value"])
+
+    def partial(b) -> "pa.Table":
+        import pandas as pd
+        cents = np.floor(b["value"].to_numpy() * 100.0).astype(np.int64)
+        et = b["event_type"].to_numpy()
+        cols = {"user_id": b["user_id"].to_numpy()}
+        for t in _PIVOT_TYPES:
+            onehot = (et == t)
+            cols[f"n_{t}"] = onehot.astype(np.int64)
+            cols[f"cents_{t}"] = np.where(onehot, cents, 0)
+        g = pd.DataFrame(cols).groupby("user_id", as_index=False).sum()
+        return g
+
+    aggs = []
+    for t in _PIVOT_TYPES:
+        aggs.append(Sum(f"n_{t}", alias_name=f"n_{t}"))
+        aggs.append(Sum(f"cents_{t}", alias_name=f"cents_{t}"))
+    return (ev.map_batches(partial, batch_format="pandas")
+            .groupby("user_id").aggregate(*aggs))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1621,6 +1658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention_cohorts": _user_retention_cohorts,
         "docs_above_lang_avg": _docs_above_lang_avg,
         "event_gap_histogram": _event_gap_histogram,
+        "user_feature_pivot": _user_feature_pivot,
         "events_sessions": _events_sessions,
         "events_asof": _events_asof,
         "events_window": _events_window,
@@ -2293,6 +2331,31 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS docs
             FROM documents
             GROUP BY ROLLUP(lang, source)
+        """,
+        "user_feature_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click') AS n_click,
+                   CAST(coalesce(sum(CASE WHEN event_type = 'click'
+                       THEN CAST(floor(value * 100) AS BIGINT) END), 0)
+                       AS BIGINT) AS cents_click,
+                   count(*) FILTER (WHERE event_type = 'error') AS n_error,
+                   CAST(coalesce(sum(CASE WHEN event_type = 'error'
+                       THEN CAST(floor(value * 100) AS BIGINT) END), 0)
+                       AS BIGINT) AS cents_error,
+                   count(*) FILTER (WHERE event_type = 'purchase')
+                       AS n_purchase,
+                   CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value * 100) AS BIGINT) END), 0)
+                       AS BIGINT) AS cents_purchase,
+                   count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+                   CAST(coalesce(sum(CASE WHEN event_type = 'signup'
+                       THEN CAST(floor(value * 100) AS BIGINT) END), 0)
+                       AS BIGINT) AS cents_signup,
+                   count(*) FILTER (WHERE event_type = 'view') AS n_view,
+                   CAST(coalesce(sum(CASE WHEN event_type = 'view'
+                       THEN CAST(floor(value * 100) AS BIGINT) END), 0)
+                       AS BIGINT) AS cents_view
+            FROM events GROUP BY user_id
         """,
         "docs_above_lang_avg": """
             WITH a AS (

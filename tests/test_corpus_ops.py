@@ -733,3 +733,22 @@ def test_event_gap_histogram_semantics(ray_session, tmp_path):
            .sort_values("gap_minutes").reset_index(drop=True))
     got = dict(zip(out["gap_minutes"], out["n_gaps"]))
     assert got == {0: 2, 1: 1, 60: 1}
+
+
+def test_user_feature_pivot_semantics(ray_session, tmp_path):
+    """Wide pivot: one row per user, fixed-vocabulary columns; users
+    missing a type get 0 (not NULL); value cents floor per row."""
+    import __ray_entry__ as E
+    rows = [
+        (1, "view", 10), (1, "view", 20), (1, "purchase", 30),
+        (2, "error", 5),
+    ]
+    _write_events(tmp_path, rows)
+    out = (E._user_feature_pivot(str(tmp_path)).to_pandas()
+           .sort_values("user_id").set_index("user_id"))
+    assert out.loc[1, "n_view"] == 2 and out.loc[1, "n_purchase"] == 1
+    assert out.loc[1, "n_click"] == 0 and out.loc[1, "cents_click"] == 0
+    assert out.loc[2, "n_error"] == 1 and out.loc[2, "n_view"] == 0
+    # value=1.0 everywhere in the fixture → cents = 100 per event
+    assert out.loc[1, "cents_view"] == 200
+    assert set(out.dtypes.astype(str)) == {"int64"}

@@ -402,3 +402,31 @@ def test_latest_wins_compaction(ray_session):
         assert list(out["ver"]) == [102, 201, 300]
         assert list(out["payload"]) == ["c", "e", "f"]
         assert list(out.columns) == ["k", "t", "ver", "payload"]
+
+
+def test_join_auto_paths_agree(ray_session):
+    """Native-dispatch and explicit hash_join produce identical rows;
+    hot_keys forces the explicit salted path; right_key joins
+    differently-named columns."""
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.join import (
+        hash_join, join_auto)
+
+    rng = np.random.default_rng(31)
+    left = pd.DataFrame({"k": rng.integers(0, 30, 300),
+                         "a": rng.integers(0, 9, 300)})
+    right = pd.DataFrame({"rk": rng.integers(0, 30, 200),
+                          "b": rng.integers(0, 9, 200)})
+
+    def norm(df):
+        df = df[["k", "a", "b"]].astype("int64")
+        return df.sort_values(["k", "a", "b"]).reset_index(drop=True)
+
+    want = norm(left.merge(right.rename(columns={"rk": "k"}), on="k"))
+    auto = norm(join_auto(rd.from_pandas(left), rd.from_pandas(right),
+                          "k", right_key="rk").to_pandas())
+    pd.testing.assert_frame_equal(auto, want, check_exact=True)
+    salted = norm(join_auto(rd.from_pandas(left), rd.from_pandas(right),
+                            "k", right_key="rk",
+                            hot_keys=[int(left["k"].mode()[0])]).to_pandas())
+    pd.testing.assert_frame_equal(salted, want, check_exact=True)

@@ -225,6 +225,16 @@ def join_auto(left, right, key: str, right_key: Optional[str] = None,
     - otherwise → native ``Dataset.join`` when available, falling back
       to :func:`hash_join` on older Ray.
 
+    CHAINED-JOIN caveat (measured, BASELINE.md): a pipeline with TWO
+    native joins runs ~3× slower than the explicit path on the same
+    inputs (min-of-3 interleaved: 53 s vs 16 s at sf0.1/32 CPUs) —
+    each native join holds `num_partitions` aggregator actors, so
+    chained joins over-subscribe the worker pool, while the explicit
+    tagged-union buckets are plain tasks that schedule cooperatively.
+    For multi-join pipelines either pass `num_partitions` such that the
+    SUM across concurrent joins ≤ cluster CPUs, or use
+    :func:`hash_join` directly (what `revenue_by_segment` does).
+
     ``right_key`` joins differently-named key columns without a rename
     pass (native path only supports that directly; the explicit path
     renames inside a map_batches). Output columns follow the left

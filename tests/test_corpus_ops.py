@@ -4,6 +4,7 @@ corpus-wide duplicate-line removal, temperature resampling."""
 from __future__ import annotations
 
 import hashlib
+import os
 import math
 
 import numpy as np
@@ -752,3 +753,24 @@ def test_user_feature_pivot_semantics(ray_session, tmp_path):
     # value=1.0 everywhere in the fixture → cents = 100 per event
     assert out.loc[1, "cents_view"] == 200
     assert set(out.dtypes.astype(str)) == {"int64"}
+
+
+def test_star_join_rejects_unknown_dimension_key(ray_session, tmp_path):
+    """A fact row referencing a supplier outside the broadcast LUT must
+    fail loudly, not wrap into another region's sum."""
+    import shutil
+    import pytest
+    import ray
+    import pyarrow.parquet as pq
+    import __ray_entry__ as E
+
+    src = "/root/testdata/sf0.001"
+    for t in ("supplier", "nation", "region"):
+        shutil.copy(os.path.join(src, f"{t}.parquet"), tmp_path)
+    li = pq.read_table(os.path.join(src, "lineitem.parquet"),
+                       columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    bad = li.set_column(0, "l_suppkey",
+                        pa.array([10**6] * li.num_rows, pa.int64()))
+    pq.write_table(bad, tmp_path / "lineitem.parquet")
+    with pytest.raises(ray.exceptions.RayTaskError, match="star join"):
+        E._star_join_region_revenue(str(tmp_path)).materialize()

@@ -130,12 +130,29 @@ def pair_by_doc(ref_ds, pred_ds):
     return both.groupby("doc_id").map_groups(zip_group, batch_format="pyarrow")
 
 
+def combine_partials_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch combine of ``eval_pairs_batch`` partials: drop ``doc_id``
+    and sum per ``col`` (the merge math is associative), so the driver
+    collects O(n_blocks × n_cols) rows instead of O(n_docs)."""
+    pdf = batch.select(["col", "n", "sse", "sum_t", "sumsq_t",
+                        "matched", "total"]).to_pandas()
+    g = pdf.groupby("col", as_index=False, sort=True).sum()
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
 def evaluate_corpus(ref_ds, pred_ds) -> Dict:
     """Corpus-level TableEvaluation: the final (tiny) reduce on the
-    driver over per-column partial rows."""
+    driver over per-column partial rows.
+
+    Scale note: ``eval_pairs_batch`` emits one row per doc plus one per
+    (doc, col); ``combine_partials_batch`` shrinks that to ≤ n_cols+1
+    rows per block BEFORE anything crosses to the driver, so the
+    collected frame is O(n_blocks × n_cols), independent of corpus size.
+    """
     paired = pair_by_doc(ref_ds, pred_ds)
-    partials = paired.map_batches(eval_pairs_batch, batch_format="pyarrow")
-    pdf = partials.to_pandas()  # rows = docs + (doc,col) partials: small
+    partials = paired.map_batches(eval_pairs_batch, batch_format="pyarrow") \
+                     .map_batches(combine_partials_batch, batch_format="pyarrow")
+    pdf = partials.to_pandas()  # ≤ n_blocks × (n_cols+1) rows
 
     matched = int(pdf["matched"].sum())
     total = int(pdf["total"].sum())

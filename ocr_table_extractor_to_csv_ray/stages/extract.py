@@ -62,8 +62,11 @@ def decode_token_batch(spans_col) -> Tuple[np.ndarray, TokenSOA, np.ndarray]:
 
     ext_w = ext.take(widx)
     to_i64 = lambda name: pc.cast(ext_w.field(name), pa.int64()).to_numpy(zero_copy_only=False)
-    lid = ext_w.field("line_id").to_numpy(zero_copy_only=False).astype(object)
-    has_lid = np.array([bool(v) for v in lid], dtype=bool)
+    lid_arr = ext_w.field("line_id")
+    # vectorized null/empty test (VERDICT r3 #3): null or "" → no line id
+    has_lid = (pc.fill_null(pc.utf8_length(lid_arr), 0)
+               .to_numpy(zero_copy_only=False) > 0)
+    lid = lid_arr.to_numpy(zero_copy_only=False).astype(object)
     lid[~has_lid] = None
 
     toks = TokenSOA(

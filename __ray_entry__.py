@@ -1134,8 +1134,13 @@ def _star_join_region_revenue(sf_dir: str):
             pa.scalar(100.0))), pa.int64()).to_numpy()
         sums = np.zeros(len(names), dtype=np.int64)
         np.add.at(sums, codes, cents)
-        return pa.table({"r_name": pa.array(names),
-                         "cents": pa.array(sums, type=pa.int64())})
+        # inner-join semantics (ADVICE r3): a region no fact row touched
+        # must NOT surface as revenue 0 — emit only contributing regions
+        hits = np.zeros(len(names), dtype=np.int64)
+        np.add.at(hits, codes, 1)
+        nz = hits > 0
+        return pa.table({"r_name": pa.array(names[nz]),
+                         "cents": pa.array(sums[nz], type=pa.int64())})
 
     return (li.map_batches(partial, batch_format="pyarrow")
               .groupby("r_name")
@@ -1318,10 +1323,14 @@ def _corpus_rollup(sf_dir: str):
             "docs": pc.cast(g["n_chars_count"], pa.int64()),
         })
 
+    # materialize the TINY (lang, source) aggregate once: it feeds three
+    # consumers (full-schema map, by-lang rollup, grand total) which
+    # would otherwise each replay the full documents scan + shuffle
+    # (ADVICE r3). Cached size = n_lang × n_source rows, not the corpus.
     finest = (docs.map_batches(partial, batch_format="pyarrow")
               .groupby(["lang", "source"])
               .aggregate(Sum("chars", alias_name="chars"),
-                         Sum("docs", alias_name="docs")))
+                         Sum("docs", alias_name="docs"))).materialize()
 
     schema = pa.schema([("lang", pa.string()), ("source", pa.string()),
                         ("chars", pa.int64()), ("docs", pa.int64())])

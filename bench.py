@@ -100,7 +100,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # block-aligned parquet sink (one file per output block); the
         # hive-partitioned layout is the resumable pipeline's concern —
         # a dir-per-part_id write here would fan out blocks × partitions
-        # tiny files and measure the filesystem, not the engine
+        # tiny files and measure the filesystem, not the engine.
+        # Empty the sink first so every pass (incl. timed()'s min-of-2
+        # second run) does identical work against an empty dir (ADVICE r3)
+        shutil.rmtree(out_dir, ignore_errors=True)
         ds = rd.read_parquet(corpus_path, columns=["doc_id", "spans"])
         cfg = EngineConfig(layout=LayoutConfig(layout="dynamic"))
         build_extraction_ds(

@@ -34,9 +34,11 @@ def _pick_latest(df: pd.DataFrame, keys: List[str], order_by: str,
     """One row per key group: the (order_by, tiebreak)-max row."""
     if not len(df):
         return df
-    # stable mergesort → last row per group is the lexicographic max
+    # stable mergesort → last row per group is the lexicographic max;
+    # dropna=False: NULL keys form a group like SQL row_number()
+    # PARTITION BY does, instead of silently vanishing (ADVICE r3)
     df = df.sort_values([order_by, tiebreak], kind="mergesort")
-    return df.groupby(keys, as_index=False, sort=False).tail(1)
+    return df.groupby(keys, as_index=False, sort=False, dropna=False).tail(1)
 
 
 def latest_wins(ds, keys: Sequence[str], order_by: str, tiebreak: str):

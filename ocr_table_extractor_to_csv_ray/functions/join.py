@@ -241,6 +241,17 @@ def join_auto(left, right, key: str, right_key: Optional[str] = None,
     side's naming (the right key column is dropped on the native path
     when it differs, matching hash_join's single-key-column contract).
     """
+    # ONE canonical `how` vocabulary (pandas names) across all three
+    # dispatch paths; the native Dataset.join speaks 'left_outer' etc.,
+    # so translate at its call site (ADVICE r3: join_auto(how='left')
+    # used to raise only when the native path was taken).
+    _VALID_HOW = ("inner", "left", "right", "outer")
+    if how not in _VALID_HOW:
+        raise ValueError(
+            f"join_auto how={how!r} — expected one of {_VALID_HOW} "
+            "(pandas vocabulary, translated internally for the native path)")
+    _NATIVE_HOW = {"inner": "inner", "left": "left_outer",
+                   "right": "right_outer", "outer": "full_outer"}
     rk = right_key or key
     if hot_keys:
         if rk != key:
@@ -262,7 +273,7 @@ def join_auto(left, right, key: str, right_key: Optional[str] = None,
             except Exception:
                 cpus = num_buckets
             num_partitions = max(2, min(num_buckets, cpus))
-        joined = left.join(right, join_type=how,
+        joined = left.join(right, join_type=_NATIVE_HOW[how],
                            num_partitions=num_partitions,
                            on=(key,), right_on=(rk,))
         if rk != key and rk in joined.schema().names:

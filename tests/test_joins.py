@@ -430,3 +430,49 @@ def test_join_auto_paths_agree(ray_session):
                             "k", right_key="rk",
                             hot_keys=[int(left["k"].mode()[0])]).to_pandas())
     pd.testing.assert_frame_equal(salted, want, check_exact=True)
+
+
+def test_join_auto_how_vocabulary_all_paths(ray_session):
+    """ADVICE r3: one canonical `how` vocabulary — 'left' must work on
+    BOTH the native path and the salted hot-keys path (it used to raise
+    ValueError on the native one), and bogus values fail loudly."""
+    import pytest
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.join import join_auto
+
+    left = pd.DataFrame({"k": [1, 2, 3, 3], "a": [10, 20, 30, 31]})
+    right = pd.DataFrame({"k": [2, 3], "b": [200, 300]})
+    want = (left.merge(right, on="k", how="left")
+            .sort_values(["k", "a"]).reset_index(drop=True))
+
+    def norm(df):
+        df = df.sort_values(["k", "a"]).reset_index(drop=True)
+        return df[["k", "a", "b"]].astype({"k": "int64", "a": "int64",
+                                           "b": "float64"})
+
+    native = join_auto(rd.from_pandas(left), rd.from_pandas(right),
+                       "k", how="left").to_pandas()
+    pd.testing.assert_frame_equal(norm(native), norm(want), check_exact=True)
+    salted = join_auto(rd.from_pandas(left), rd.from_pandas(right),
+                       "k", how="left", hot_keys=[3]).to_pandas()
+    pd.testing.assert_frame_equal(norm(salted), norm(want), check_exact=True)
+
+    with pytest.raises(ValueError, match="join_auto how"):
+        join_auto(rd.from_pandas(left), rd.from_pandas(right),
+                  "k", how="left_outer")
+
+
+def test_latest_wins_null_keys_kept(ray_session):
+    """ADVICE r3: NULL keys must form a compaction group (SQL
+    row_number() PARTITION BY keeps NULL partitions), not be dropped."""
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.compact import latest_wins
+
+    df = pd.DataFrame({"k": ["a", "a", None, None, "b"],
+                       "t": [1, 2, 1, 3, 1],
+                       "v": [0, 1, 2, 3, 4],
+                       "p": ["x", "y", "z", "w", "q"]})
+    out = latest_wins(rd.from_pandas(df), ["k"], "t", "v").to_pandas()
+    got = {(k if pd.notna(k) else None): p
+           for k, p in zip(out["k"], out["p"])}
+    assert got == {"a": "y", None: "w", "b": "q"}

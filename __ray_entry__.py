@@ -178,6 +178,22 @@ def _finetune_layoutlm(sf_dir: str):
         stats and stats.get("doc_ids_unique"))))
 
 
+def _finetune_stepsync(sf_dir: str):
+    """Step-synchronous fine-tune (HF-Trainer step semantics, reference
+    train_layoutlm.py:284-298): one AdamW update per global minibatch,
+    gradients all-reduced across persistent shard actors as int64
+    fixed-point partials — bit-equal to a sequential pass over the same
+    minibatches, which is exactly what the oracle replays."""
+    from ocr_table_extractor_to_csv_ray.functions.finetune import finetune_layoutlm
+    from ocr_table_extractor_to_csv_ray.pipelines.databuild import build_dataset
+    ds, stats = _corpus(sf_dir, with_stats=True)
+    return finetune_layoutlm(
+        build_dataset(ds, ids_known_unique=bool(
+            stats and stats.get("doc_ids_unique"))),
+        strategy="step_sync", n_rounds=1, lr=0.05,
+        global_batch_size=32, n_shards=4)
+
+
 def _token_accuracy(sf_dir: str):
     """AG7 (train_layoutlm.py:167-183) as a streaming corpus metric:
     teacher-labeled examples → gold ids (col_id −1 masked as −100, the
@@ -1605,6 +1621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_accuracy": _token_accuracy,
         "train_classifier": _train_classifier,
         "finetune_layoutlm": _finetune_layoutlm,
+        "finetune_stepsync": _finetune_stepsync,
         "eval_generic_vs_dynamic": _eval_generic_vs_dynamic,
         "ocr_expand": _ocr_expand,
         "hocr_parse_extract": _hocr_parse_extract,
@@ -2039,6 +2056,12 @@ def oracle_sql() -> dict[str, str]:
         # contract under test here
         "finetune_layoutlm": _expected_sql(
             "train_classifier",
+            "'linear-fallback' AS backend, n_examples, n_tokens, "
+            "initial_loss, final_loss, token_accuracy"),
+        # step-sync mode: sequential-minibatch-AdamW oracle replayed by
+        # tools/gen_oracle_expected.py::expected_train_stepsync
+        "finetune_stepsync": _expected_sql(
+            "finetune_stepsync",
             "'linear-fallback' AS backend, n_examples, n_tokens, "
             "initial_loss, final_loss, token_accuracy"),
         "top_terms": r"""

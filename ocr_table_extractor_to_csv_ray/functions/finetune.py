@@ -239,6 +239,155 @@ class LayoutLMEvalShard(_ShardBase):
         })
 
 
+GRAD_SCALE = float(1 << 24)      # fixed-point gradient quantization
+
+
+class _ParamCodec:
+    """Canonical flatten/unflatten of a model state dict: float params
+    concatenate (sorted by name) into ONE float64 vector the driver
+    optimizes; integer buffers (position ids …) pass through frozen."""
+
+    def __init__(self, state: Dict[str, np.ndarray]) -> None:
+        self.float_names = sorted(k for k, v in state.items()
+                                  if np.issubdtype(np.asarray(v).dtype,
+                                                   np.floating))
+        self.shapes = {k: np.asarray(state[k]).shape for k in self.float_names}
+        self.dtypes = {k: np.asarray(state[k]).dtype for k in self.float_names}
+        self.frozen = {k: np.asarray(v) for k, v in state.items()
+                       if k not in set(self.float_names)}
+        self.sizes = [int(np.prod(self.shapes[k]) or 1)
+                      for k in self.float_names]
+        self.total = int(sum(self.sizes))
+
+    def flatten(self, state: Dict[str, np.ndarray]) -> np.ndarray:
+        return np.concatenate(
+            [np.asarray(state[k], np.float64).reshape(-1)
+             for k in self.float_names]) if self.float_names else np.zeros(0)
+
+    def unflatten(self, flat: np.ndarray) -> Dict[str, np.ndarray]:
+        out = dict(self.frozen)
+        off = 0
+        for k, n in zip(self.float_names, self.sizes):
+            out[k] = flat[off:off + n].reshape(self.shapes[k]) \
+                         .astype(self.dtypes[k])
+            off += n
+        return out
+
+
+class LayoutLMGradWorker(_ShardBase):
+    """Step-sync shard actor (raw Ray actor — lockstep iteration is the
+    one pattern ``map_batches`` can't express): holds its contiguous
+    slice of the doc_id-sorted example list, serves per-minibatch
+    quantized LayoutLM gradients. Per-document backward → per-document
+    int64 quantization → integer sum, so the cross-shard reduce is
+    associative (bit-stable under any sharding), mirroring
+    ``train.py``'s fixed-point trick at LayoutLM scale."""
+
+    def __init__(self, table_refs, model_id: str = DEFAULT_MODEL_ID,
+                 max_seq_length: int = 512,
+                 image_loader: Optional[Callable] = None) -> None:
+        super().__init__(model_id, None, max_seq_length, image_loader)
+        import ray
+        docs: List = []
+        for t in ray.get(list(table_refs)):
+            docs.extend(self._docs(t))
+        self._shard = docs
+        self._base = 0
+        self._codec = _ParamCodec(
+            {k: _to_numpy(v) for k, v in self._model.state_dict().items()})
+
+    def count(self) -> int:
+        return len(self._shard)
+
+    def set_base(self, base: int) -> None:
+        self._base = int(base)
+
+    def init_state(self) -> bytes:
+        return state_to_bytes(self._model.state_dict())
+
+    def grad(self, flat_weights: np.ndarray, lo: int, hi: int):
+        """(int64 grad over float params, loss_q, n_tokens) for the
+        global minibatch slice ∩ this shard."""
+        torch = self._torch
+        state = self._codec.unflatten(np.asarray(flat_weights, np.float64))
+        self._model.load_state_dict(
+            {k: torch.as_tensor(v) for k, v in state.items()})
+        self._model.train()
+        gsum = np.zeros(self._codec.total, np.int64)
+        loss_q, n_tok = 0, 0
+        i0 = max(lo - self._base, 0)
+        i1 = min(hi - self._base, len(self._shard))
+        for i in range(i0, i1):
+            doc_id, words, boxes, labels = self._shard[i]
+            if not words:
+                continue
+            enc = self._encode(doc_id, words, boxes, labels)
+            out = self._model(**enc)
+            n_valid = int((_to_numpy(enc["labels"]) != -100).sum())
+            self._model.zero_grad()
+            (out.loss * n_valid).backward()   # sum-of-token-losses grads
+            flat_g = np.concatenate([
+                (_to_numpy(p.grad) if p.grad is not None
+                 else np.zeros(self._codec.shapes[name])).reshape(-1)
+                for name, p in sorted(self._model.named_parameters())
+                if name in self._codec.shapes] or [np.zeros(0)])
+            gsum += np.round(flat_g * GRAD_SCALE).astype(np.int64)
+            loss_q += int(round(float(out.loss.item()) * n_valid * GRAD_SCALE))
+            n_tok += n_valid
+        return gsum, loss_q, n_tok
+
+
+def _stepsync_layoutlm(train_ds, base_kwargs: dict, *, lr: float,
+                       n_rounds: int, global_batch_size: int,
+                       n_shards: int, weight_decay: float):
+    """HF-Trainer-step-equivalent loop: one AdamW update per global
+    minibatch, gradient all-reduced across persistent shard actors.
+    ``n_rounds`` plays the epoch role."""
+    import ray
+    from .train import adamw_step
+
+    n_total = train_ds.count()
+    n_shards = max(1, min(int(n_shards), max(1, n_total)))
+    Worker = ray.remote(LayoutLMGradWorker)
+    ordered = train_ds.sort("doc_id").materialize()
+    actors = []
+    for split in ordered.split(n_shards, equal=False):
+        actors.append(Worker.remote(split.to_arrow_refs(), **base_kwargs))
+    counts = ray.get([a.count.remote() for a in actors])
+    base = 0
+    for a, c in zip(actors, counts):
+        ray.get(a.set_base.remote(base))
+        base += c
+    n_docs = base
+
+    state0 = bytes_to_state(ray.get(actors[0].init_state.remote()))
+    codec = _ParamCodec(state0)
+    W = codec.flatten(state0)
+    m = np.zeros_like(W)
+    v = np.zeros_like(W)
+    B = max(1, int(global_batch_size))
+    n_steps = (n_docs + B - 1) // B
+    t = 0
+    for _ in range(max(1, int(n_rounds))):
+        for s in range(n_steps):
+            lo, hi = s * B, min((s + 1) * B, n_docs)
+            w_step = ray.put(W)
+            parts = ray.get([a.grad.remote(w_step, lo, hi) for a in actors])
+            n_tok = sum(p[2] for p in parts)
+            if n_tok == 0:
+                continue
+            g_q = np.sum([p[0] for p in parts], axis=0)
+            t += 1
+            g = g_q.astype(np.float64) / GRAD_SCALE / n_tok
+            W, m, v = adamw_step(W, m, v, g, t, lr,
+                                 weight_decay=weight_decay)
+    final_state = codec.unflatten(W)
+    weights_ref = ray.put(state_to_bytes(final_state))
+    for a in actors:
+        ray.kill(a)
+    return weights_ref, n_docs
+
+
 def _eval_pass(ds, shard_kwargs: dict, batch_size: int, concurrency):
     parts = ds.map_batches(
         LayoutLMEvalShard, fn_constructor_kwargs=shard_kwargs,
@@ -255,23 +404,46 @@ def finetune_layoutlm(examples_ds, *, model_id: str = DEFAULT_MODEL_ID,
                       max_seq_length: int = 512, seed: int = 42,
                       split: str = "hash", output_dir: Optional[str] = None,
                       image_loader: Optional[Callable] = None,
-                      batch_size: int = 8, concurrency=None) -> pd.DataFrame:
+                      batch_size: int = 8, concurrency=None,
+                      strategy: str = "fedavg",
+                      global_batch_size: int = 8, n_shards: int = 4,
+                      weight_decay: float = 0.0) -> pd.DataFrame:
     """Fine-tune LayoutLMv3 on dataset-builder examples; one result row
     ``(backend, n_examples, n_tokens, initial_loss, final_loss,
     token_accuracy)``.
 
+    ``strategy``: ``"fedavg"`` (default — shard-local epochs, then
+    token-weighted averaging; the throughput option) or ``"step_sync"``
+    (one AdamW update per global minibatch with a cross-shard gradient
+    all-reduce — HF-Trainer step semantics, reference
+    ``train_layoutlm.py:284-298``; FedAvg's epochs-then-average is NOT
+    step-equivalent to the reference optimizer, this mode is). In
+    step_sync mode ``n_rounds`` plays the epoch role and
+    ``global_batch_size``/``n_shards``/``weight_decay`` shape the loop.
+
     Without torch/transformers this logs a warning and falls back to
-    :func:`~.train.train_token_classifier` (same schema, backend
-    ``linear-fallback``) — the portability contract every real backend
-    in this repo follows.
+    the linear token classifier (same schema, backend
+    ``linear-fallback``) — :func:`~.train.train_token_classifier` for
+    fedavg, :func:`~.train.train_token_classifier_stepsync` for
+    step_sync — the portability contract every real backend in this
+    repo follows.
     """
+    if strategy not in ("fedavg", "step_sync"):
+        raise ValueError(f"strategy={strategy!r} — 'fedavg' or 'step_sync'")
     backend = probe_backend()
     if backend == "linear-fallback":
         log.warning(
             "torch/transformers unavailable — reference entry point 4 "
             "(train_layoutlm.py) running as the linear token classifier "
             "(functions/train.py), same output schema")
-        out = train_token_classifier(examples_ds)
+        if strategy == "step_sync":
+            from .train import train_token_classifier_stepsync
+            out = train_token_classifier_stepsync(
+                examples_ds, n_epochs=n_rounds, lr=lr,
+                global_batch_size=global_batch_size, n_shards=n_shards,
+                weight_decay=weight_decay)
+        else:
+            out = train_token_classifier(examples_ds)
         out.insert(0, "backend", "linear-fallback")
         return out
 
@@ -296,18 +468,25 @@ def finetune_layoutlm(examples_ds, *, model_id: str = DEFAULT_MODEL_ID,
 
     _, n0, loss0, _ = _eval_pass(eval_ds, {**base_kwargs, "weights_ref": None},
                                  batch_size, conc)
-    weights_ref = None
-    n_train = 0
-    for _ in range(max(1, int(n_rounds))):
-        parts = train_ds.map_batches(
-            LayoutLMTrainShard,
-            fn_constructor_kwargs={**base_kwargs, "weights_ref": weights_ref,
-                                   "lr": lr, "local_epochs": local_epochs},
-            batch_format="pyarrow", batch_size=batch_size,
-            concurrency=conc).to_pandas()
-        n_train = int(parts["n_examples"].sum())
-        state = fedavg(list(parts["state"]), list(parts["n_tokens"]))
-        weights_ref = ray.put(state)
+    if strategy == "step_sync":
+        weights_ref, n_train = _stepsync_layoutlm(
+            train_ds, base_kwargs, lr=lr, n_rounds=n_rounds,
+            global_batch_size=global_batch_size, n_shards=n_shards,
+            weight_decay=weight_decay)
+    else:
+        weights_ref = None
+        n_train = 0
+        for _ in range(max(1, int(n_rounds))):
+            parts = train_ds.map_batches(
+                LayoutLMTrainShard,
+                fn_constructor_kwargs={**base_kwargs,
+                                       "weights_ref": weights_ref,
+                                       "lr": lr, "local_epochs": local_epochs},
+                batch_format="pyarrow", batch_size=batch_size,
+                concurrency=conc).to_pandas()
+            n_train = int(parts["n_examples"].sum())
+            state = fedavg(list(parts["state"]), list(parts["n_tokens"]))
+            weights_ref = ray.put(state)
 
     correct, n_tok, loss_f, _ = _eval_pass(
         eval_ds, {**base_kwargs, "weights_ref": weights_ref},

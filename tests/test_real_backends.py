@@ -578,3 +578,95 @@ def test_finetune_falls_back_without_torch(ray_session):
                                  "token_accuracy"]
     assert out["backend"][0] == "linear-fallback"
     assert out["n_examples"][0] == 2 and out["n_tokens"][0] == 3
+
+
+def _fake_grad_modules(record):
+    """Extend the finetune fakes with the gradient surface the
+    step-sync worker needs (named_parameters / zero_grad / loss*k →
+    backward sets grads)."""
+    tmod, torch_mod = _fake_finetune_modules(record)
+    Base = tmod.LayoutLMv3ForTokenClassification
+
+    class GradModel(Base):
+        def __init__(self):
+            super().__init__()
+            self._param = types.SimpleNamespace(grad=None)
+
+        @classmethod
+        def from_pretrained(cls, model_id, num_labels=None,
+                            id2label=None, label2id=None):
+            record["num_labels"] = num_labels
+            return cls()
+
+        def named_parameters(self):
+            return [("w", self._param)]
+
+        def zero_grad(self):
+            self._param.grad = None
+
+        def __call__(self, **enc):
+            out = super().__call__(**enc)
+            model = self
+
+            class ScaledLoss:
+                def __init__(self, v):
+                    self._v = v
+
+                def item(self):
+                    return self._v
+
+                def __mul__(self, k):
+                    return types.SimpleNamespace(
+                        backward=lambda: model._set_grad(k))
+
+            out.loss = ScaledLoss(0.5)
+            return out
+
+        def _set_grad(self, n):
+            # d(sum-of-token-losses)/dw for this doc: [1, 2] * n_valid
+            self._param.grad = np.array([1.0, 2.0]) * n
+
+    tmod.LayoutLMv3ForTokenClassification = GradModel
+    return tmod, torch_mod
+
+
+def test_stepsync_grad_worker_quantized_partials(ray_session):
+    """LayoutLMGradWorker serves per-minibatch int64 fixed-point
+    gradients over its global-index slice; the codec splits float
+    params from frozen integer buffers."""
+    import ray
+    from ocr_table_extractor_to_csv_ray.functions.finetune import (
+        GRAD_SCALE, LayoutLMGradWorker, _ParamCodec)
+
+    record = {}
+    tmod, torch_mod = _fake_grad_modules(record)
+    ref = ray.put(_examples_batch())
+    with fake_modules(transformers=tmod, torch=torch_mod):
+        w = LayoutLMGradWorker([ref], image_loader=lambda d: "IMG")
+        assert w.count() == 2
+        w.set_base(0)
+        flat0 = np.array([1.0, 2.0])
+        # whole minibatch [0, 2): d1 has 2 unmasked tokens, d2 has 1
+        g, loss_q, n_tok = w.grad(flat0, 0, 2)
+        S = GRAD_SCALE
+        assert n_tok == 3
+        assert g.tolist() == [round(3 * S), round(6 * S)]
+        assert loss_q == round(0.5 * 3 * S)
+        # slice [1, 2): only d2 contributes
+        g2, loss_q2, n2 = w.grad(flat0, 1, 2)
+        assert n2 == 1 and g2.tolist() == [round(S), round(2 * S)]
+        # disjoint slice: zero contribution (the all-reduce identity)
+        g0, l0, n0 = w.grad(flat0, 5, 9)
+        assert n0 == 0 and g0.tolist() == [0, 0] and l0 == 0
+        # broadcast weights actually reach the model
+        assert np.array_equal(record["loaded"]["w"], flat0)
+        assert record["loaded"]["steps"].dtype == np.int64  # frozen buffer
+
+    # codec: float params flatten; integer buffers frozen, dtypes kept
+    codec = _ParamCodec({"w": np.array([3.0, 4.0], np.float32),
+                         "ids": np.array([7, 8], np.int64)})
+    flat = codec.flatten({"w": np.array([3.0, 4.0], np.float32)})
+    state = codec.unflatten(flat + 1.0)
+    assert state["w"].dtype == np.float32
+    assert state["w"].tolist() == [4.0, 5.0]
+    assert state["ids"].tolist() == [7, 8]

@@ -713,6 +713,84 @@ def test_train_classifier_deterministic_and_learns(ray_session):
     assert row["final_loss"] < row["initial_loss"]
     assert row["token_accuracy"] > 1.5 / 13
 
+def test_stepsync_matches_sequential_adamw(ray_session):
+    """VERDICT r3 #4: the step-synchronous mode must be BIT-EQUAL to a
+    sequential AdamW loop over the same minibatches (the fixed-point
+    all-reduce makes the cross-shard sum order-independent) — the HF
+    Trainer step-semantics contract, at linear-fallback scale."""
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.train import (
+        DEFAULT_BUCKETS, LABEL2ID, N_CLASSES, N_GEOM, SCALE, adamw_step,
+        _doc_features, _softmax, train_token_classifier_stepsync)
+    from ocr_table_extractor_to_csv_ray.pipelines.databuild import build_dataset
+    from ocr_table_extractor_to_csv_ray.sources.synthetic import corpus_table
+
+    examples = build_dataset(rd.from_arrow(corpus_table(24)).repartition(6))
+    n_epochs, B, lr, wd = 2, 5, 0.05, 0.01
+
+    _, W_dist = train_token_classifier_stepsync(
+        examples, n_epochs=n_epochs, lr=lr, global_batch_size=B,
+        n_shards=3, weight_decay=wd, return_weights=True)
+
+    # sequential oracle: same doc_id-sorted minibatches, one process
+    pdf = (examples.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["error"], "")),
+        batch_format="pyarrow").to_pandas().sort_values("doc_id")
+        .reset_index(drop=True))
+    docs = list(zip(pdf["words"], pdf["bboxes"], pdf["labels"]))
+    d = N_GEOM + DEFAULT_BUCKETS
+    W = np.zeros((N_CLASSES, d), np.float64)
+    m = np.zeros(W.size); v = np.zeros(W.size)
+    t = 0
+    n_steps = (len(docs) + B - 1) // B
+    for _ in range(n_epochs):
+        for s in range(n_steps):
+            gsum = np.zeros(W.size, np.int64); n_tok = 0
+            for words, bboxes, labels in docs[s * B:(s + 1) * B]:
+                if not len(words):
+                    continue
+                X = _doc_features(list(words), [list(b) for b in bboxes],
+                                  DEFAULT_BUCKETS)
+                y = np.array([LABEL2ID.get(l, 0) for l in labels])
+                P = _softmax(X @ W.T)
+                P[np.arange(len(y)), y] -= 1.0
+                gsum += np.round((P.T @ X).reshape(-1) * SCALE).astype(np.int64)
+                n_tok += len(y)
+            if n_tok == 0:
+                continue
+            t += 1
+            g = gsum.astype(np.float64) / SCALE / n_tok
+            Wf, m, v = adamw_step(W.reshape(-1), m, v, g, t, lr,
+                                  weight_decay=wd)
+            W = Wf.reshape(W.shape)
+
+    assert np.array_equal(W_dist, W), "step-sync diverged from sequential"
+    assert not np.allclose(W, 0.0)                     # it actually trained
+
+
+def test_finetune_step_sync_fallback_schema(ray_session):
+    """finetune_layoutlm(strategy='step_sync') on a torch-less host runs
+    the linear step-sync trainer with the standard result schema."""
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.finetune import finetune_layoutlm
+    from ocr_table_extractor_to_csv_ray.pipelines.databuild import build_dataset
+    from ocr_table_extractor_to_csv_ray.sources.synthetic import corpus_table
+
+    out = finetune_layoutlm(build_dataset(rd.from_arrow(corpus_table(16))),
+                            strategy="step_sync", n_rounds=1,
+                            lr=0.05, global_batch_size=4, n_shards=2)
+    assert list(out.columns) == ["backend", "n_examples", "n_tokens",
+                                 "initial_loss", "final_loss",
+                                 "token_accuracy"]
+    assert out["backend"][0] == "linear-fallback"
+    assert out["n_examples"][0] > 0
+    assert out["final_loss"][0] < out["initial_loss"][0]
+
+    with pytest.raises(ValueError, match="strategy"):
+        finetune_layoutlm(build_dataset(rd.from_arrow(corpus_table(4))),
+                          strategy="ddp")
+
+
 def test_doc_freq_vs_bruteforce(ray_session):
     import ray.data as rd
     from ocr_table_extractor_to_csv_ray.functions.textstats import doc_freq

@@ -581,6 +581,117 @@ def expected_train(corpus, n_epochs: int = 4, lr: float = 2.0,
     })
 
 
+def expected_train_stepsync(corpus, n_epochs: int = 1, lr: float = 0.05,
+                            global_batch_size: int = 32,
+                            weight_decay: float = 0.0,
+                            n_buckets: int = 32) -> pd.DataFrame:
+    """Step-synchronous trainer oracle (functions/train.py::
+    train_token_classifier_stepsync spec): sequential minibatch AdamW
+    over the doc_id-sorted examples — one optimizer step per global
+    minibatch, per-document int64 gradient quantization (scale 2^20) so
+    the distributed all-reduce must match bit for bit."""
+    from tests.refimpl import ref_build_example
+    label2id = {"OTHER": 0}
+    for p in ("HEADER", "BODY"):
+        for i in range(6):
+            label2id[f"{p}_COL_{i}"] = len(label2id)
+    C = len(label2id)
+    scale = float(1 << 20)
+    n_geom = 7
+    d = n_geom + n_buckets
+
+    docs = []
+    for doc_id, spans in zip(corpus["doc_id"].to_pylist(),
+                             corpus["spans"].to_pylist()):
+        ex = ref_build_example(spans)
+        if ex is None:
+            continue
+        n = len(ex["words"])
+        X = np.zeros((n, d), np.float64)
+        X[:, 0] = 1.0
+        if n:
+            bb = np.asarray(ex["bboxes"], np.float64).reshape(n, 4) / 1000.0
+            X[:, 1:5] = bb
+            X[:, 5] = bb[:, 2] - bb[:, 0]
+            X[:, 6] = bb[:, 3] - bb[:, 1]
+            for i, w in enumerate(ex["words"]):
+                h = int.from_bytes(hashlib.blake2b(
+                    (w or "").lower().encode("utf-8"),
+                    digest_size=8).digest(), "little")
+                X[i, n_geom + h % n_buckets] = 1.0
+        y = np.array([label2id.get(l, 0) for l in ex["labels"]], np.int64)
+        docs.append((str(doc_id), X, y))
+    docs.sort(key=lambda t: t[0])           # the engine's sort("doc_id")
+
+    def softmax(z):
+        z = z - z.max(axis=1, keepdims=True)
+        e = np.exp(z)
+        return e / e.sum(axis=1, keepdims=True)
+
+    def adamw(Wf, m, v, g, t):
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        m = b1 * m + (1.0 - b1) * g
+        v = b2 * v + (1.0 - b2) * g * g
+        mhat = m / (1.0 - b1 ** t)
+        vhat = v / (1.0 - b2 ** t)
+        Wf = Wf * (1.0 - lr * weight_decay) - lr * mhat / (np.sqrt(vhat) + eps)
+        return Wf, m, v
+
+    W = np.zeros((C, d), np.float64)
+    m = np.zeros(W.size)
+    v = np.zeros(W.size)
+    B = max(1, int(global_batch_size))
+    n_steps = (len(docs) + B - 1) // B
+    t = 0
+    initial_loss = None
+    for _ in range(max(1, int(n_epochs))):
+        for s in range(n_steps):
+            gsum = np.zeros(W.size, np.int64)
+            loss_q = 0
+            n_tok = 0
+            for _id, X, y in docs[s * B:(s + 1) * B]:
+                if not len(y):
+                    continue
+                P = softmax(X @ W.T)
+                loss = -np.log(np.maximum(
+                    P[np.arange(len(y)), y], 1e-300)).sum()
+                P[np.arange(len(y)), y] -= 1.0
+                gsum += np.round((P.T @ X).reshape(-1) * scale).astype(np.int64)
+                loss_q += int(round(loss * scale))
+                n_tok += len(y)
+            if n_tok == 0:
+                continue
+            if initial_loss is None:
+                initial_loss = loss_q / scale / n_tok
+            t += 1
+            g = gsum.astype(np.float64) / scale / n_tok
+            Wf, m, v = adamw(W.reshape(-1), m, v, g, t)
+            W = Wf.reshape(W.shape)
+
+    correct = 0
+    loss_q = 0
+    n_tok_total = 0
+    for _id, X, y in docs:
+        if not len(y):
+            continue
+        P = softmax(X @ W.T)
+        loss_q += int(round(
+            -np.log(np.maximum(P[np.arange(len(y)), y], 1e-300)).sum() * scale))
+        correct += int((P.argmax(axis=1) == y).sum())
+        n_tok_total += len(y)
+    return pd.DataFrame({
+        "n_examples": pd.array([len(docs)], dtype="int64"),
+        "n_tokens": pd.array([n_tok_total], dtype="int64"),
+        "initial_loss": pd.array([initial_loss if initial_loss is not None
+                                  else 0.0], dtype="float64"),
+        "final_loss": pd.array(
+            [loss_q / scale / n_tok_total if n_tok_total else 0.0],
+            dtype="float64"),
+        "token_accuracy": pd.array(
+            [correct / n_tok_total if n_tok_total else 0.0], dtype="float64"),
+    })
+
+
 def expected_resumable(corpus) -> pd.DataFrame:
     """extract_resumable totals: doc_count = corpus size; row_count =
     Σ output spans per doc under the dynamic layout, where a grid
@@ -824,7 +935,8 @@ def main() -> None:
                     | {"extract_knobs", "hocr_parse_extract",
                        "dataset_builder", "token_accuracy",
                        "eval_generic_vs_dynamic", "extract_resumable",
-                       "train_classifier", "extract_transformers",
+                       "train_classifier", "finetune_stepsync",
+                       "extract_transformers",
                        "ocr_expand", "multimodal_features"})
 
     for sf_dir, sf in SF_DIRS.items():
@@ -855,6 +967,7 @@ def main() -> None:
                          ("eval_generic_vs_dynamic", expected_eval_generic_vs_dynamic),
                          ("extract_resumable", expected_resumable),
                          ("train_classifier", expected_train),
+                         ("finetune_stepsync", expected_train_stepsync),
                          ("extract_transformers", expected_transformers),
                          ("ocr_expand", expected_ocr_expand),
                          ("multimodal_features", expected_multimodal)):

@@ -46,7 +46,8 @@ _TS_UNIT_TO_US = {"s": 1_000_000, "ms": 1_000, "us": 1}
 
 
 def sessionize(ds, key: str = "user_id", ts: str = "ts",
-               gap_seconds: int = 1800, ts_unit: str = "us"):
+               gap_seconds: int = 1800, ts_unit: str = "us",
+               max_events_per_task: Optional[int] = 5_000_000):
     """Session windows: per key, sort by ``ts``; a new session starts
     where the gap from the previous event exceeds ``gap_seconds``.
 
@@ -58,25 +59,39 @@ def sessionize(ds, key: str = "user_id", ts: str = "ts",
     (``"s"``/``"ms"``/``"us"``) — an epoch-seconds int column compared
     raw against microsecond gaps would silently never split sessions.
     Datetime columns carry their own unit and ignore ``ts_unit``.
-    """
+
+    MEGA-KEY GUARD (the enforced form of the one-key-fits-a-task
+    contract): a cheap probe pass (per-batch ``(key, n, tmin, tmax)``
+    partials → one tiny key-shuffle, events never move) finds keys
+    whose event count exceeds ``max_events_per_task``. Those keys are
+    range-partitioned by time into buckets of ≲ threshold events,
+    sessionized per (key, bucket), then STITCHED: sessionization is
+    boundary-local, so adjacent-bucket sessions merge iff the gap
+    between one session's end and the next's start is ≤ the gap — a
+    linear interval merge over session rows (≪ event rows). Cold keys
+    take the plain one-task path. ``max_events_per_task=None`` disables
+    the probe (one scan instead of two) when the caller knows the key
+    space is tame."""
     try:
         to_us = _TS_UNIT_TO_US[ts_unit]
     except KeyError:
         raise ValueError(f"ts_unit must be one of {sorted(_TS_UNIT_TO_US)}, "
                          f"got {ts_unit!r}") from None
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts, kind="mergesort")
-        t = g[ts].to_numpy()
-        if np.issubdtype(t.dtype, np.datetime64):
-            t = t.astype("datetime64[us]").astype(np.int64)   # epoch us
-        else:
-            t = t.astype(np.int64) * to_us
+    gap_us = gap_seconds * 1_000_000
+
+    def _t_us(arr: np.ndarray) -> np.ndarray:
+        if np.issubdtype(arr.dtype, np.datetime64):
+            return arr.astype("datetime64[us]").astype(np.int64)   # epoch us
+        return arr.astype(np.int64) * to_us
+
+    def _sessions_of(keys: np.ndarray, t: np.ndarray) -> pd.DataFrame:
+        """(sorted-by-ts) one-key event arrays → session rows."""
         new_sess = np.ones(len(t), dtype=np.int64)
         if len(t) > 1:
-            new_sess[1:] = (t[1:] - t[:-1] > gap_seconds * 1_000_000).astype(np.int64)
+            new_sess[1:] = (t[1:] - t[:-1] > gap_us).astype(np.int64)
         sess_id = np.cumsum(new_sess)                  # 1-based per key
-        out = pd.DataFrame({key: g[key].to_numpy(), "session_id": sess_id, "_t": t})
+        out = pd.DataFrame({key: keys, "session_id": sess_id, "_t": t})
         agg = out.groupby([key, "session_id"], as_index=False).agg(
             n_events=("_t", "size"),
             session_start=("_t", "min"),
@@ -86,7 +101,99 @@ def sessionize(ds, key: str = "user_id", ts: str = "ts",
             agg[c] = agg[c].astype("int64")
         return agg
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts, kind="mergesort")
+        return _sessions_of(g[key].to_numpy(), _t_us(g[ts].to_numpy()))
+
+    hot = None
+    if max_events_per_task:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from ray.data.aggregate import Max, Min, Sum
+
+        def probe(b: pd.DataFrame) -> pd.DataFrame:
+            t = _t_us(b[ts].to_numpy())
+            f = pd.DataFrame({key: b[key].to_numpy(), "_t": t})
+            g = f.groupby(key, as_index=False).agg(
+                n=("_t", "size"), tmin=("_t", "min"), tmax=("_t", "max"))
+            g["n"] = g["n"].astype("int64")
+            return g
+
+        stats = (ds.map_batches(probe, batch_format="pandas")
+                 .groupby(key)
+                 .aggregate(Sum("n", alias_name="n"),
+                            Min("tmin", alias_name="tmin"),
+                            Max("tmax", alias_name="tmax")))
+        # only the PATHOLOGICAL keys cross to the driver — normally zero
+        hot = (stats.map_batches(
+            lambda t: t.filter(pc.greater(t["n"], max_events_per_task)),
+            batch_format="pyarrow").to_pandas())
+        if len(hot) == 0:
+            hot = None
+
+    if hot is None:
+        return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+    # span width per hot key s.t. a uniform timeline gives ≲ threshold
+    # events per bucket (a skewed timeline can still exceed it — this is
+    # a guard against unbounded single tasks, not a balancer)
+    hot_meta = {}
+    for _, r in hot.iterrows():
+        n_buckets = int(np.ceil(r["n"] / max_events_per_task))
+        width = max(1, int(np.ceil((r["tmax"] - r["tmin"] + 1) / n_buckets)))
+        hot_meta[r[key]] = (int(r["tmin"]), width)
+    hot_keys = set(hot_meta)
+
+    def split_flag(b: pd.DataFrame) -> pd.DataFrame:
+        return b[~b[key].isin(hot_keys)]
+
+    cold_sessions = (ds.map_batches(split_flag, batch_format="pandas")
+                     .groupby(key).map_groups(per_key, batch_format="pandas"))
+
+    def hot_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[key].isin(hot_keys)]
+        if not len(b):
+            return pd.DataFrame({key: b[key], "_t": pd.array([], dtype="int64"),
+                                 "__bucket": pd.array([], dtype="int64")})
+        t = _t_us(b[ts].to_numpy())
+        tmin = b[key].map(lambda k: hot_meta[k][0]).to_numpy(dtype=np.int64)
+        width = b[key].map(lambda k: hot_meta[k][1]).to_numpy(dtype=np.int64)
+        return pd.DataFrame({key: b[key].to_numpy(), "_t": t,
+                             "__bucket": (t - tmin) // width})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_t", kind="mergesort")
+        return _sessions_of(g[key].to_numpy(), g["_t"].to_numpy(np.int64))
+
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("session_start", kind="mergesort")
+        start = g["session_start"].to_numpy(np.int64)
+        end = g["session_end"].to_numpy(np.int64)
+        n = g["n_events"].to_numpy(np.int64)
+        # merge adjacent sessions whose inter-session gap ≤ gap_us;
+        # running max of end guards out-of-order bucket overlaps
+        run_end = np.maximum.accumulate(end)
+        new = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            new[1:] = (start[1:] - run_end[:-1] > gap_us).astype(np.int64)
+        sid = np.cumsum(new)
+        out = pd.DataFrame({key: g[key].to_numpy(), "session_id": sid,
+                            "n_events": n, "session_start": start,
+                            "session_end": end})
+        agg = out.groupby([key, "session_id"], as_index=False).agg(
+            n_events=("n_events", "sum"),
+            session_start=("session_start", "min"),
+            session_end=("session_end", "max"))
+        for c in ("n_events", "session_start", "session_end", "session_id"):
+            agg[c] = agg[c].astype("int64")
+        return agg
+
+    hot_sessions = (ds.map_batches(hot_bucket, batch_format="pandas")
+                    .groupby([key, "__bucket"])
+                    .map_groups(per_bucket, batch_format="pandas")
+                    .groupby(key)
+                    .map_groups(stitch, batch_format="pandas"))
+    return cold_sessions.union(hot_sessions)
 
 
 def hash_join(left, right, key: str, num_buckets: int = 32,

@@ -476,3 +476,56 @@ def test_latest_wins_null_keys_kept(ray_session):
     got = {(k if pd.notna(k) else None): p
            for k, p in zip(out["k"], out["p"])}
     assert got == {"a": "y", None: "w", "b": "q"}
+
+
+def test_sessionize_mega_key_range_split(ray_session):
+    """VERDICT r3 #6: a key whose events exceed max_events_per_task is
+    range-partitioned by time and stitched at shard edges — output must
+    equal the one-task path exactly, including sessions that straddle
+    bucket boundaries."""
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.join import sessionize
+
+    rng = np.random.default_rng(7)
+    # one mega user with gap-y timeline + a few cold users
+    gaps = rng.integers(1, 4000, 5_000).astype(np.int64)  # gap=1800s splits
+    t_mega = np.cumsum(gaps) * 1_000_000                  # epoch us
+    rows = [pd.DataFrame({"user_id": "mega", "ts": t_mega})]
+    for u in range(3):
+        t = np.cumsum(rng.integers(1, 4000, 50).astype(np.int64)) * 1_000_000
+        rows.append(pd.DataFrame({"user_id": f"cold{u}", "ts": t}))
+    df = pd.concat(rows, ignore_index=True).sample(frac=1, random_state=3)
+    ds = rd.from_pandas(df).repartition(8)
+
+    def norm(out):
+        return (out.to_pandas()
+                .sort_values(["user_id", "session_id"])
+                .reset_index(drop=True)
+                [["user_id", "session_id", "n_events",
+                  "session_start", "session_end"]])
+
+    plain = norm(sessionize(ds, gap_seconds=1800, max_events_per_task=None))
+    # threshold forces ~17 time buckets for the mega key
+    split = norm(sessionize(ds, gap_seconds=1800, max_events_per_task=300))
+    pd.testing.assert_frame_equal(split, plain, check_exact=True)
+    assert plain[plain["user_id"] == "mega"]["session_id"].max() > 100
+
+
+def test_sessionize_mega_key_single_user_large(ray_session):
+    """A single user with 1M+ events streams through the guard without
+    one task holding the whole key; totals conserved."""
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.join import sessionize
+
+    n = 1_200_000
+    # deterministic gaps: mostly 1s, every 1000th event jumps 1h
+    gaps = np.ones(n, np.int64)
+    gaps[::1000] = 3600
+    t = np.cumsum(gaps) * 1_000_000
+    ds = rd.from_pandas(pd.DataFrame({"user_id": "whale", "ts": t})) \
+           .repartition(16)
+    out = sessionize(ds, gap_seconds=1800,
+                     max_events_per_task=200_000).to_pandas()
+    assert out["n_events"].sum() == n                 # every event counted
+    assert len(out) == (n + 999) // 1000              # one session per jump
+    assert out["session_id"].is_unique

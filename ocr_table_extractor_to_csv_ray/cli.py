@@ -117,7 +117,8 @@ def cmd_evaluate(args) -> None:
     from .sinks.csv_sink import write_eval_report_csv
     ref = rd.read_parquet(args.reference, columns=["doc_id", "spans"])
     pred = rd.read_parquet(args.predicted, columns=["doc_id", "spans"])
-    m = evaluate_corpus(ref, pred)
+    m = evaluate_corpus(ref, pred,
+                        numeric_columns=getattr(args, "numeric_columns", None))
     if args.report:
         write_eval_report_csv(m, args.report)
     if args.json_report:
@@ -210,9 +211,16 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--header-regex", action="append")
     d.set_defaults(fn=cmd_dataset)
 
-    v = sub.add_parser("evaluate", help="two extraction outputs → metrics")
+    v = sub.add_parser("evaluate", help="two extraction output DIRECTORIES "
+                       "(corpus-vs-corpus) → streaming metrics")
     v.add_argument("reference"); v.add_argument("predicted")
-    v.add_argument("--report"); v.add_argument("--json-report")
+    v.add_argument("--report", help="CSV report path (reference "
+                   "eval_cli.py --report schema)")
+    v.add_argument("--json-report", "--json", dest="json_report",
+                   help="JSON metrics path (reference eval_cli.py --json)")
+    v.add_argument("--numeric-columns", nargs="+",
+                   help="restrict numeric metrics to these columns "
+                   "(header names or col_N aliases); omitted → inferred")
     v.set_defaults(fn=cmd_evaluate)
 
     f = sub.add_parser("finetune",

@@ -21,7 +21,7 @@ never co-materialize.
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
@@ -53,8 +53,16 @@ def _coerce(col: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def grid_pair_partials(ref_grid: Tuple[List[str], List[List[str]]],
-                       pred_grid: Tuple[List[str], List[List[str]]]) -> Dict:
-    """Per-document partial metrics (mergeable)."""
+                       pred_grid: Tuple[List[str], List[List[str]]],
+                       numeric_columns: Optional[Sequence[str]] = None) -> Dict:
+    """Per-document partial metrics (mergeable).
+
+    ``numeric_columns`` mirrors the reference's opt-in filter
+    (``eval_cli.py --numeric-columns`` / ``evaluation.py:113-116``):
+    when given, only columns whose REF header name or positional
+    ``col_{idx}`` alias is listed contribute numeric partials; text
+    accuracy is unaffected."""
+    header = list(ref_grid[0] or [])
     ra = ([list(ref_grid[0])] if ref_grid[0] else []) + [list(r) for r in ref_grid[1]]
     pb = ([list(pred_grid[0])] if pred_grid[0] else []) + [list(r) for r in pred_grid[1]]
     # the reference compares BODY under a header row; CSV read includes
@@ -63,8 +71,13 @@ def grid_pair_partials(ref_grid: Tuple[List[str], List[List[str]]],
     A, B = _pad_pair(ra, pb)
     total = int(A.size)
     matched = int((A == B).sum())
+    ncset = set(numeric_columns) if numeric_columns else None
     per_col = []
     for j in range(A.shape[1]):
+        if ncset is not None:
+            name = header[j] if j < len(header) else ""
+            if name not in ncset and f"col_{j}" not in ncset:
+                continue
         t, mt = _coerce(A[:, j])
         p, mp = _coerce(B[:, j])
         m = mt & mp
@@ -80,7 +93,8 @@ def grid_pair_partials(ref_grid: Tuple[List[str], List[List[str]]],
     return {"matched": matched, "total": total, "per_col": per_col}
 
 
-def eval_pairs_batch(batch: pa.Table) -> pa.Table:
+def eval_pairs_batch(batch: pa.Table,
+                     numeric_columns: Optional[Sequence[str]] = None) -> pa.Table:
     """Batch of ``(doc_id, spans_ref, spans_pred)`` → partial-metric rows
     (one row per (doc, col) plus one col=-1 row carrying cell counts)."""
     out = {"doc_id": [], "col": [], "n": [], "sse": [], "sum_t": [],
@@ -90,7 +104,8 @@ def eval_pairs_batch(batch: pa.Table) -> pa.Table:
     ids = batch["doc_id"].to_pylist()
     for doc_id, sr, sp in zip(ids, ref_col, pred_col):
         tup = lambda ss: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in (ss or [])]
-        part = grid_pair_partials(spans_to_grid(tup(sr)), spans_to_grid(tup(sp)))
+        part = grid_pair_partials(spans_to_grid(tup(sr)), spans_to_grid(tup(sp)),
+                                  numeric_columns=numeric_columns)
         out["doc_id"].append(doc_id); out["col"].append(-1)
         out["n"].append(0); out["sse"].append(0.0)
         out["sum_t"].append(0.0); out["sumsq_t"].append(0.0)
@@ -140,7 +155,8 @@ def combine_partials_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(g, preserve_index=False)
 
 
-def evaluate_corpus(ref_ds, pred_ds) -> Dict:
+def evaluate_corpus(ref_ds, pred_ds,
+                    numeric_columns: Optional[Sequence[str]] = None) -> Dict:
     """Corpus-level TableEvaluation: the final (tiny) reduce on the
     driver over per-column partial rows.
 
@@ -149,8 +165,11 @@ def evaluate_corpus(ref_ds, pred_ds) -> Dict:
     rows per block BEFORE anything crosses to the driver, so the
     collected frame is O(n_blocks × n_cols), independent of corpus size.
     """
+    import functools
     paired = pair_by_doc(ref_ds, pred_ds)
-    partials = paired.map_batches(eval_pairs_batch, batch_format="pyarrow") \
+    partials = paired.map_batches(
+        functools.partial(eval_pairs_batch, numeric_columns=numeric_columns),
+        batch_format="pyarrow") \
                      .map_batches(combine_partials_batch, batch_format="pyarrow")
     pdf = partials.to_pandas()  # ≤ n_blocks × (n_cols+1) rows
 

@@ -774,3 +774,68 @@ def test_star_join_rejects_unknown_dimension_key(ray_session, tmp_path):
     pq.write_table(bad, tmp_path / "lineitem.parquet")
     with pytest.raises(ray.exceptions.RayTaskError, match="star join"):
         E._star_join_region_revenue(str(tmp_path)).materialize()
+
+
+def test_cli_evaluate_corpus_vs_corpus(ray_session, tmp_path, capsys):
+    """VERDICT r3 #7: `evaluate REF_DIR PRED_DIR` streams two extraction
+    output directories through the combined-partials evaluator and
+    writes the reference's report schema (eval_cli.py flags:
+    --report/--json/--numeric-columns, incl. header-NAME filtering)."""
+    import csv as _csv
+    import json
+    import pyarrow.parquet as pq
+    from ocr_table_extractor_to_csv_ray import cli
+    from ocr_table_extractor_to_csv_ray.core.spans import grid_to_spans
+    from ocr_table_extractor_to_csv_ray.sources.synthetic import SPAN_TYPE
+
+    header = ["amount", "qty", "note"]
+
+    def spanify(rows):
+        return [{"kind": k, "text": t, "media_ref": m, "offset": o}
+                for k, t, m, o in grid_to_spans(header, rows)]
+
+    n = 40
+    ids = [f"d{i:03d}" for i in range(n)]
+    refs = [spanify([[str(i), str(2 * i), "x"]]) for i in range(n)]
+    preds = [spanify([[str(i), str(2 * i + (i % 4)), "y"]]) for i in range(n)]
+    ref_dir, pred_dir = str(tmp_path / "ref"), str(tmp_path / "pred")
+    for d, spans in ((ref_dir, refs), (pred_dir, preds)):
+        import os
+        os.makedirs(d)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(ids),
+            "spans": pa.array(spans, pa.list_(SPAN_TYPE))}),
+            os.path.join(d, "part.parquet"))
+
+    report = str(tmp_path / "report.csv")
+    jreport = str(tmp_path / "report.json")
+    cli.main(["evaluate", ref_dir, pred_dir,
+              "--report", report, "--json", jreport])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["total_cells"] == n * 3
+    # col_0 always matches; col_1 matches when i%4==0; col_2 never
+    want_matched = n + sum(1 for i in range(n) if i % 4 == 0)
+    assert summary["matched_cells"] == want_matched
+
+    with open(report, encoding="utf-8") as fh:
+        rows = list(_csv.reader(fh))
+    assert rows[0] == ["Metric", "Column", "Value", "N"]   # reference schema
+    metrics = [r[0] for r in rows[1:]]
+    assert metrics[0] == "text_accuracy"
+    assert {"mse", "rmse", "r2"} <= set(metrics)
+    assert "overall_mse" in metrics
+
+    j = json.load(open(jreport))
+    assert {m["column"] for m in j["numeric_by_column"]} == {"col_0", "col_1"}
+    mse1 = next(m for m in j["numeric_by_column"] if m["column"] == "col_1")
+    assert mse1["mse"] == pytest.approx(
+        sum((i % 4) ** 2 for i in range(n)) / n)
+
+    # --numeric-columns filters by REF HEADER NAME (reference parity)
+    cli.main(["evaluate", ref_dir, pred_dir, "--json", jreport,
+              "--numeric-columns", "qty"])
+    capsys.readouterr()
+    j2 = json.load(open(jreport))
+    assert {m["column"] for m in j2["numeric_by_column"]} == {"col_1"}
+    assert j2["numeric_overall"]["n"] == mse1["n"]        # pooled = col_1 only
+    assert j2["total_cells"] == j["total_cells"]      # text metrics untouched

@@ -150,7 +150,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     for q in ("extract_generic", "extract_transformers", "dataset_builder",
               "dedup_minhash", "knn_cosine", "events_hourly", "doc_token_stats",
               "dedup_lines", "corpus_prep", "revenue_by_segment",
-              "star_join_region_revenue", "events_latest_state"):
+              "star_join_region_revenue", "events_latest_state",
+              # round 4: eval (double extraction + doc_id zip-groupby +
+              # combined partials) and the two fine-tune strategies
+              # (fedavg rounds vs per-minibatch gradient all-reduce)
+              "eval_generic_vs_dynamic", "finetune_layoutlm",
+              "finetune_stepsync"):
         timed(q, lambda q=q: consume(q))
 
     total = round(sum(timings.values()), 3)

@@ -1163,6 +1163,225 @@ def _star_join_region_revenue(sf_dir: str):
               .aggregate(Sum("cents", alias_name="revenue_cents")))
 
 
+def _promo_revenue_share(sf_dir: str):
+    """TPC-H-Q14-shaped promo revenue share: the part dimension is
+    projected to ONE BIT per partkey (is p_type PROMO), broadcast once
+    as a dense int8 array, and the date-windowed lineitem fact streams
+    through a zero-shuffle map_batches (predicate pushed into the scan)
+    emitting 1-row integer partials; the share is integer basis points
+    (all-integer floor division) so the single output row is
+    engine-portable bit-for-bit."""
+    import datetime as dt
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    lut = np.full(int(pc.max(part["p_partkey"]).as_py()) + 1, -1,
+                  dtype=np.int8)
+    lut[part["p_partkey"].to_numpy()] = pc.starts_with(
+        part["p_type"], "PROMO").to_numpy(zero_copy_only=False).astype(np.int8)
+    lut_ref = ray.put(lut)
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= dt.datetime(1996, 1, 1))
+               & (pads.field("l_shipdate") < dt.datetime(1997, 1, 1)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        table = ray.get(lut_ref)
+        keys = t["l_partkey"].to_numpy()
+        if keys.size and (keys.min() < 0 or keys.max() >= table.size
+                          or table[keys].min() < 0):
+            raise ValueError("promo share: l_partkey outside the "
+                             "broadcast part dimension")
+        promo = table[keys].astype(np.int64)
+        cents = pc.cast(pc.floor(pc.multiply(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0))), pa.int64()).to_numpy()
+        return pa.table({
+            "promo_cents": pa.array([int((cents * promo).sum())], pa.int64()),
+            "total_cents": pa.array([int(cents.sum())], pa.int64()),
+        })
+
+    agg = li.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("promo_cents", alias_name="promo_cents"),
+        Sum("total_cents", alias_name="total_cents"))
+    promo, total = int(agg["promo_cents"]), int(agg["total_cents"])
+    # python ints: promo*10000 would overflow int64 at extreme scale
+    return pd.DataFrame({"promo_cents": pd.array([promo], dtype="int64"),
+                         "total_cents": pd.array([total], dtype="int64"),
+                         "share_bp": pd.array([promo * 10000 // total],
+                                              dtype="int64")})
+
+
+def _top_supplier_revenue(sf_dir: str):
+    """TPC-H-Q15-shaped global argmax: per-supplier revenue via
+    per-batch partial groupby → ONE key shuffle over pre-shrunk
+    partials; the aggregated per-supplier table (post-aggregate small —
+    |suppliers| rows, never the fact table) is materialized once
+    because it is consumed twice (global Max, then the tie-preserving
+    filter); winner names come from a PUSHED-DOWN dimension scan
+    (s_suppkey isin winners), so neither the fact nor the dimension
+    table is ever shuffled."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pandas as pd
+    from ray.data.aggregate import Max, Sum
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_suppkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0))), pa.int64())
+        g = (pa.table({"s_suppkey": t["l_suppkey"], "cents": cents})
+             .group_by("s_suppkey").aggregate([("cents", "sum")]))
+        return pa.table({"s_suppkey": g["s_suppkey"],
+                         "cents": pc.cast(g["cents_sum"], pa.int64())})
+
+    rev = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("s_suppkey")
+           .aggregate(Sum("cents", alias_name="total_revenue_cents"))
+           .materialize())
+    mx = rev.aggregate(Max("total_revenue_cents"))["max(total_revenue_cents)"]
+    winners = rev.map_batches(
+        lambda t: t.filter(pc.equal(t["total_revenue_cents"],
+                                    pa.scalar(mx, pa.int64()))),
+        batch_format="pyarrow").to_pandas()          # ties only — tiny
+    sup = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"],
+        filter=pads.field("s_suppkey").isin(
+            winners["s_suppkey"].tolist())).to_pandas()
+    out = winners.merge(sup, on="s_suppkey")
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    return out[["s_suppkey", "s_name", "total_revenue_cents"]]
+
+
+def _supplier_distinct_parts(sf_dir: str):
+    """TPC-H-Q16-shaped distributed COUNT DISTINCT: suppliers per
+    (p_brand, p_size). The part dimension collapses to ONE int32 code
+    per partkey (index into the distinct (brand, size) pair table),
+    broadcast once; each fact batch locally dedups fused
+    (pair_code << 40 | suppkey) keys (np.unique — the per-batch
+    combiner that makes the one big shuffle move distinct keys, not
+    rows); groupby(fused) finishes the global dedup, then a second
+    TINY shuffle (≤ |pairs| rows per block) counts suppliers per pair."""
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import numpy as np
+    from ray.data.aggregate import Count, Sum
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand", "p_size"]
+                         ).to_pandas()
+    pairs = (part[["p_brand", "p_size"]].drop_duplicates()
+             .sort_values(["p_brand", "p_size"]).reset_index(drop=True))
+    pair_of = {(b, s): i for i, (b, s) in
+               enumerate(zip(pairs["p_brand"], pairs["p_size"]))}
+    if len(pairs) >= (1 << 23):
+        raise ValueError("distinct (brand,size) domain too wide for the "
+                         "fused-key encoding — raise the shift")
+    code = np.full(int(part["p_partkey"].max()) + 1, -1, dtype=np.int32)
+    code[part["p_partkey"].to_numpy()] = [
+        pair_of[(b, s)] for b, s in zip(part["p_brand"], part["p_size"])]
+    lut_ref = ray.put(code)
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_suppkey"])
+
+    def fuse(t: pa.Table) -> pa.Table:
+        table = ray.get(lut_ref)
+        pk = t["l_partkey"].to_numpy()
+        sk = t["l_suppkey"].to_numpy()
+        if pk.size and (pk.min() < 0 or pk.max() >= table.size
+                        or table[pk].min() < 0):
+            raise ValueError("distinct parts: l_partkey outside the "
+                             "broadcast part dimension")
+        if sk.size and (sk.min() < 0 or sk.max() >= (1 << 40)):
+            raise ValueError("distinct parts: l_suppkey outside the "
+                             "fused-key range [0, 2^40)")
+        fused = (table[pk].astype(np.int64) << 40) | sk.astype(np.int64)
+        return pa.table({"fused": pa.array(np.unique(fused))})
+
+    distinct = (li.map_batches(fuse, batch_format="pyarrow")
+                .groupby("fused").aggregate(Count(alias_name="_n")))
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        pc_codes = (t["fused"].to_numpy() >> 40).astype(np.int64)
+        cnt = np.bincount(pc_codes, minlength=len(pairs)).astype(np.int64)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"pair_code": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(cnt[nz])})
+
+    counts = (distinct.map_batches(pair_partial, batch_format="pyarrow")
+              .groupby("pair_code")
+              .aggregate(Sum("n", alias_name="n_suppliers")))
+
+    brand_arr = pairs["p_brand"].to_numpy()
+    size_arr = pairs["p_size"].to_numpy().astype(np.int32)
+
+    def decode(t: pa.Table) -> pa.Table:
+        idx = t["pair_code"].to_numpy()
+        return pa.table({
+            "p_brand": pa.array(brand_arr[idx], pa.string()),
+            "p_size": pa.array(size_arr[idx], pa.int32()),
+            "n_suppliers": pc.cast(t["n_suppliers"], pa.int64()),
+        })
+
+    return counts.map_batches(decode, batch_format="pyarrow")
+
+
+def _events_rows_window(sf_dir: str):
+    """Physical-ROWS-frame window (``ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW`` per user ordered by ts, event_id): count + integer
+    moving sum — complements `events_window`'s value-RANGE frame."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from ocr_table_extractor_to_csv_ray.functions.window import rows_window_agg
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(t["value"], pa.scalar(100.0))),
+                        pa.int64())
+        return t.drop_columns(["value"]).append_column("cents", cents)
+
+    out = rows_window_agg(ev.map_batches(to_cents, batch_format="pyarrow"),
+                          key="user_id", ts="ts", order_tiebreak="event_id",
+                          preceding_rows=2, value_cents="cents")
+    return out.select_columns(["event_id", "n_frame", "moving_sum_cents"])
+
+
+def _heavy_hitter_terms(sf_dir: str):
+    """Exact φ-heavy-hitter terms (φ = 1/500) over documents.text via
+    the two-pass per-block-Misra-Gries + broadcast recount in
+    functions/sketch.py — no full-vocabulary shuffle."""
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.sketch import (
+        heavy_hitter_terms)
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["text"])
+    return heavy_hitter_terms(docs, column="text", phi_den=500)
+
+
 def _customer_order_counts(sf_dir: str):
     """TPC-H-Q13-shaped distribution: orders per customer INCLUDING
     zero-order customers (left outer), histogrammed. The orders side is
@@ -1675,6 +1894,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_lineitem": _join_orders_lineitem,
         "revenue_by_segment": _revenue_by_segment,
         "star_join_region_revenue": _star_join_region_revenue,
+        "promo_revenue_share": _promo_revenue_share,
+        "top_supplier_revenue": _top_supplier_revenue,
+        "supplier_distinct_parts": _supplier_distinct_parts,
+        "events_rows_window": _events_rows_window,
+        "heavy_hitter_terms": _heavy_hitter_terms,
         "customer_order_counts": _customer_order_counts,
         "customers_without_orders": _customers_without_orders,
         "events_latest_state": _events_latest_state,
@@ -2335,6 +2559,66 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY r.r_name
+        """,
+        "promo_revenue_share": """
+            WITH f AS (
+                SELECT l_partkey,
+                       CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT) AS cents
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'),
+            j AS (
+                SELECT CASE WHEN p.p_type LIKE 'PROMO%' THEN f.cents
+                            ELSE 0 END AS pcents, f.cents
+                FROM f JOIN part p ON p.p_partkey = f.l_partkey)
+            SELECT CAST(sum(pcents) AS BIGINT) AS promo_cents,
+                   CAST(sum(cents) AS BIGINT) AS total_cents,
+                   CAST((sum(pcents) * 10000) // sum(cents) AS BIGINT)
+                       AS share_bp
+            FROM j
+        """,
+        "top_supplier_revenue": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       CAST(sum(CAST(floor(l_extendedprice
+                                           * (1 - l_discount) * 100)
+                                     AS BIGINT)) AS BIGINT)
+                           AS total_revenue_cents
+                FROM lineitem GROUP BY l_suppkey)
+            SELECT s.s_suppkey, s.s_name, r.total_revenue_cents
+            FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+            WHERE r.total_revenue_cents =
+                  (SELECT max(total_revenue_cents) FROM r)
+        """,
+        "supplier_distinct_parts": """
+            SELECT p.p_brand, p.p_size,
+                   CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY p.p_brand, p.p_size
+        """,
+        "events_rows_window": """
+            WITH e AS (
+                SELECT event_id, user_id, ts,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events)
+            SELECT event_id,
+                   CAST(count(*) OVER w AS BIGINT) AS n_frame,
+                   CAST(sum(cents) OVER w AS BIGINT) AS moving_sum_cents
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "heavy_hitter_terms": r"""
+            WITH tok AS (
+                SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                           AS token
+                FROM documents),
+            tot AS (SELECT count(*) AS n FROM tok)
+            SELECT token, CAST(count(*) AS BIGINT) AS freq
+            FROM tok, tot
+            GROUP BY token, tot.n
+            HAVING count(*) * 500 >= tot.n
         """,
         "customer_order_counts": """
             WITH per_cust AS (

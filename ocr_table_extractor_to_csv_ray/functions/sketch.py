@@ -318,3 +318,101 @@ def exact_vocab_by_group(ds, group_column: str = "lang",
 
     return (distinct.map_batches(partial, batch_format="pyarrow")
             .groupby(group_column).aggregate(Sum("n", alias_name="vocab")))
+
+# tokens come from a \s+ split, so no real token can contain whitespace
+_HH_TOTAL_SENTINEL = " total tokens "
+
+
+def heavy_hitter_terms(ds, column: str = "text", phi_den: int = 500):
+    """EXACT φ-heavy hitters (φ = 1/``phi_den``): every token whose
+    total occurrence count is ≥ N/phi_den of the N total tokens, with
+    its exact count — in TWO streaming passes and no full-vocabulary
+    shuffle (`top_terms` shuffles the whole vocabulary; this shuffles
+    only ≤ phi_den candidates per block).
+
+    Pass 1 (candidates): per block, dictionary-encode + bincount, keep
+    tokens with local count · phi_den > local block token count. This is
+    the vectorized equivalent of a per-block Misra-Gries summary and
+    carries the same union guarantee: if a token misses EVERY block's
+    cut, then c_b ≤ N_b/phi_den for all blocks, so its global count is
+    ≤ N/phi_den — the union of per-block candidates is a superset of
+    the true heavy hitters. ≤ phi_den candidates per block, merged by a
+    small distributed groupby (first-seen spelling kept; counts from
+    pass 1 are partial and discarded).
+
+    Pass 2 (exact recount): the candidate token set is broadcast once
+    (``ray.put``), each block emits exact counts for candidate tokens
+    plus one ``_HH_TOTAL_SENTINEL`` row carrying the block's total token
+    count; one groupby over ≤ |candidates|+1 keys sums both, then the
+    final filter keeps ``freq * phi_den >= N`` — all-integer math, so
+    the result is engine-portable bit-for-bit.
+
+    Scale note: candidate volume is ≤ phi_den per block worst case;
+    Zipfian corpora collapse the union to ≈ the true heavy hitters. If
+    an adversarial corpus made the union too wide to broadcast, the
+    pass-1 output is already a Dataset — pre-filter it against a CMS
+    before the ``ray.put`` — but that path is not needed here.
+
+    Returns a Dataset with columns (token, freq:int64).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    if phi_den < 2:
+        raise ValueError(f"phi_den must be >= 2, got {phi_den}")
+
+    def _local_counts(t: pa.Table):
+        text = (t[column].combine_chunks()
+                if isinstance(t[column], pa.ChunkedArray) else t[column])
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+        toks = (toks.combine_chunks()
+                if isinstance(toks, pa.ChunkedArray) else toks)
+        enc = toks.flatten().dictionary_encode()
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False),
+                           np.int64)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary)).astype(np.int64)
+        return enc.dictionary, cnt
+
+    def candidates_batch(t: pa.Table) -> pa.Table:
+        vocab, cnt = _local_counts(t)
+        n_b = int(cnt.sum())
+        keep = cnt * phi_den > n_b
+        return pa.table({"token": vocab.filter(pa.array(keep)),
+                         "one": pa.array(np.ones(int(keep.sum()), np.int64))})
+
+    cand = (ds.select_columns([column])
+            .map_batches(candidates_batch, batch_format="pyarrow")
+            .groupby("token").aggregate(Sum("one", alias_name="nb"))
+            .select_columns(["token"]))
+    cand_arr = pa.array([r["token"] for r in cand.iter_rows()], pa.string())
+    cand_ref = ray.put(cand_arr)
+
+    def recount_batch(t: pa.Table) -> pa.Table:
+        cs = ray.get(cand_ref)
+        vocab, cnt = _local_counts(t)
+        keep = pc.is_in(vocab, value_set=cs)
+        kept = vocab.filter(keep)
+        toks = pa.concat_arrays([kept.cast(pa.string()),
+                                 pa.array([_HH_TOTAL_SENTINEL], pa.string())])
+        ns = np.concatenate(
+            [cnt[keep.to_numpy(zero_copy_only=False)], [cnt.sum()]]
+        ).astype(np.int64)
+        return pa.table({"token": toks, "n": pa.array(ns)})
+
+    summed = (ds.select_columns([column])
+              .map_batches(recount_batch, batch_format="pyarrow")
+              .groupby("token").aggregate(Sum("n", alias_name="freq"))
+              .materialize())    # ≤ |candidates|+1 rows — tiny by contract
+    total = summed.filter(
+        lambda r: r["token"] == _HH_TOTAL_SENTINEL).take(1)[0]["freq"]
+
+    def final_filter(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(pc.multiply(t["freq"],
+                                                 pa.scalar(phi_den, pa.int64())),
+                                     pa.scalar(int(total), pa.int64())),
+                    pc.not_equal(t["token"], _HH_TOTAL_SENTINEL))
+        out = t.filter(m)
+        return pa.table({"token": out["token"],
+                         "freq": pc.cast(out["freq"], pa.int64())})
+
+    return summed.map_batches(final_filter, batch_format="pyarrow")

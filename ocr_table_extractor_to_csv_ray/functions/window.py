@@ -187,3 +187,57 @@ def sliding_window_agg(ds, key: str = "user_id", ts: str = "ts",
 
     return ds.map_batches(_check, batch_format="pyarrow") \
              .groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+def rows_window_agg(ds, key: str = "user_id", ts: str = "ts",
+                    order_tiebreak: Optional[str] = None,
+                    preceding_rows: int = 2,
+                    value_cents: Optional[str] = None):
+    """Per row: aggregates over the key's trailing ROWS frame — ANSI
+    ``ROWS BETWEEN <preceding_rows> PRECEDING AND CURRENT ROW`` ordered
+    by ``(ts, order_tiebreak)``. The physical-row frame complements
+    ``sliding_window_agg``'s value-RANGE frame: a RANGE frame includes
+    ts-peers, a ROWS frame includes exactly ``preceding_rows + 1`` rows
+    (fewer at the head of the partition).
+
+    Emits ``n_frame`` (frame row count) and, when ``value_cents`` names
+    an int64 column, ``moving_sum_cents`` — an integer moving sum, NOT a
+    float moving average, so the result is engine-portable bit-for-bit
+    (callers divide at the edge if they want the average).
+
+    ``order_tiebreak`` must make the sort order total when ts has
+    duplicates per key, otherwise the frame assignment (and therefore
+    the output) is nondeterministic — pass the row's unique id.
+
+    Scale: same one-key-per-task ``groupby().map_groups`` contract as
+    ``sliding_window_agg``; a ROWS frame is boundary-local (each output
+    row reads ≤ ``preceding_rows`` rows behind it), so a mega-key can be
+    range-split by time with ``preceding_rows`` rows of overlap, exactly
+    like the ``sessionize`` hot-key guard (join.py:48).
+    """
+    k = int(preceding_rows)
+    if k < 0:
+        raise ValueError(f"preceding_rows must be >= 0, got {preceding_rows}")
+
+    def per_key(g: pa.Table) -> pa.Table:
+        tsv = _ts_us(g[ts].combine_chunks(), ts)
+        tsv = tsv.to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        if order_tiebreak is not None:
+            tie = g[order_tiebreak].to_numpy(zero_copy_only=False)
+            order = np.lexsort((tie, tsv))       # ts major, tiebreak minor
+        else:
+            order = np.argsort(tsv, kind="mergesort")
+        out = g.take(pa.array(order.astype(np.int64)))
+        n = out.num_rows
+        idx = np.arange(n, dtype=np.int64)
+        lo = np.maximum(idx - k, 0)
+        cols = {c: out[c] for c in out.column_names}
+        cols["n_frame"] = pa.array(idx - lo + 1)
+        if value_cents is not None:
+            cents = np.asarray(out[value_cents].to_numpy(zero_copy_only=False),
+                               dtype=np.int64)
+            csum = np.concatenate(([0], np.cumsum(cents)))
+            cols["moving_sum_cents"] = pa.array(csum[idx + 1] - csum[lo])
+        return pa.table(cols)
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")

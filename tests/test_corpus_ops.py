@@ -839,3 +839,103 @@ def test_cli_evaluate_corpus_vs_corpus(ray_session, tmp_path, capsys):
     assert {m["column"] for m in j2["numeric_by_column"]} == {"col_1"}
     assert j2["numeric_overall"]["n"] == mse1["n"]        # pooled = col_1 only
     assert j2["total_cells"] == j["total_cells"]      # text metrics untouched
+
+
+# ---------------------------------------------------------------- round 4
+
+def test_rows_window_agg_matches_pandas_rolling(ray_session):
+    """ROWS-frame moving sum/count vs pandas rolling (the frame includes
+    exactly min(k+1, position+1) rows; ts ties broken by event_id)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_table_extractor_to_csv_ray.functions.window import rows_window_agg
+
+    rng = np.random.RandomState(7)
+    n = 400
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, 5, n).astype(np.int64),
+        # coarse second resolution so ties are COMMON — exercises tiebreak
+        "ts": pd.to_datetime(rng.randint(0, 50, n), unit="s"),
+        "cents": rng.randint(-100, 100, n).astype(np.int64),
+    })
+    out = (rows_window_agg(rd.from_pandas(df).repartition(4),
+                           key="user_id", ts="ts",
+                           order_tiebreak="event_id",
+                           preceding_rows=2, value_cents="cents")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    exp = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    g = exp.groupby("user_id")["cents"]
+    exp["moving_sum_cents"] = (g.rolling(3, min_periods=1).sum()
+                               .reset_index(level=0, drop=True).astype(np.int64))
+    exp["n_frame"] = (g.rolling(3, min_periods=1).count()
+                      .reset_index(level=0, drop=True).astype(np.int64))
+    exp = exp.sort_values("event_id").reset_index(drop=True)
+    assert (out["moving_sum_cents"].to_numpy()
+            == exp["moving_sum_cents"].to_numpy()).all()
+    assert (out["n_frame"].to_numpy() == exp["n_frame"].to_numpy()).all()
+
+
+def test_rows_window_agg_rejects_negative_frame(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_table_extractor_to_csv_ray.functions.window import rows_window_agg
+
+    ds = rd.from_pandas(pd.DataFrame(
+        {"user_id": [1], "ts": pd.to_datetime([0], unit="s"), "cents": [1]}))
+    with pytest.raises(ValueError, match="preceding_rows"):
+        rows_window_agg(ds, preceding_rows=-1)
+
+
+def test_heavy_hitter_terms_exact_and_superset_guarantee(ray_session):
+    """Union-of-per-block candidates must contain every true φ-heavy
+    hitter; the recount must return its EXACT frequency; nothing below
+    the threshold may appear. Adversarial layout: the heavy token is
+    spread so thin that no single block makes it locally heavy-looking
+    by a large margin."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_table_extractor_to_csv_ray.functions.sketch import (
+        heavy_hitter_terms)
+
+    rng = np.random.RandomState(3)
+    # 3000 docs, 1 token each: 'hh' appears 400x spread uniformly,
+    # 'mid' 99x (just below the 1/30 threshold at N=3000), rest unique
+    toks = (["hh"] * 400 + ["mid"] * 99
+            + [f"u{i}" for i in range(3000 - 499)])
+    rng.shuffle(toks)
+    docs = pd.DataFrame({"text": toks})
+    out = (heavy_hitter_terms(rd.from_pandas(docs).repartition(8),
+                              phi_den=30)
+           .to_pandas().set_index("token")["freq"])
+    # N=3000, threshold = N/30 = 100: hh (400) in, mid (99) out
+    assert out.to_dict() == {"hh": 400}
+
+    # exactness across a Zipf-ish corpus vs a brute-force count
+    words = [f"w{min(int(rng.zipf(1.5)), 40)}" for _ in range(5000)]
+    docs2 = pd.DataFrame({"text": [" ".join(words[i:i + 5])
+                                   for i in range(0, 5000, 5)]})
+    got = (heavy_hitter_terms(rd.from_pandas(docs2).repartition(6),
+                              phi_den=50)
+           .to_pandas().set_index("token")["freq"].sort_index())
+    vc = pd.Series(words).value_counts()
+    exp = vc[vc * 50 >= len(words)].sort_index()
+    assert got.index.tolist() == exp.index.tolist()
+    assert (got.to_numpy() == exp.to_numpy()).all()
+
+
+def test_heavy_hitter_terms_rejects_bad_phi(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_table_extractor_to_csv_ray.functions.sketch import (
+        heavy_hitter_terms)
+
+    ds = rd.from_pandas(pd.DataFrame({"text": ["a"]}))
+    with pytest.raises(ValueError, match="phi_den"):
+        heavy_hitter_terms(ds, phi_den=1)

@@ -1382,6 +1382,22 @@ def _heavy_hitter_terms(sf_dir: str):
     return heavy_hitter_terms(docs, column="text", phi_den=500)
 
 
+def _label_centroids(sf_dir: str):
+    """Mean-pooled embedding centroid per cluster label (the vector
+    aggregate every training pipeline needs for prototypes / class
+    means): fixed-point per-dim integer sums via
+    functions/clustering.py::grouped_centroid_fixedpoint — one key
+    shuffle of ≤ |labels|·dim rows per batch, never the vectors."""
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.clustering import (
+        grouped_centroid_fixedpoint)
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["label", "embedding"])
+    return grouped_centroid_fixedpoint(ds, group_col="label",
+                                       vec_col="embedding")
+
+
 def _customer_order_counts(sf_dir: str):
     """TPC-H-Q13-shaped distribution: orders per customer INCLUDING
     zero-order customers (left outer), histogrammed. The orders side is
@@ -1899,6 +1915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_distinct_parts": _supplier_distinct_parts,
         "events_rows_window": _events_rows_window,
         "heavy_hitter_terms": _heavy_hitter_terms,
+        "label_centroids": _label_centroids,
         "customer_order_counts": _customer_order_counts,
         "customers_without_orders": _customers_without_orders,
         "events_latest_state": _events_latest_state,
@@ -2608,6 +2625,18 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "label_centroids": """
+            WITH u AS (
+                SELECT label,
+                       unnest(range(len(embedding))) AS dim,
+                       unnest(embedding) AS v
+                FROM embeddings)
+            SELECT label, CAST(dim AS BIGINT) AS dim,
+                   CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000)
+                                 AS BIGINT)) AS BIGINT) AS sum_fp,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM u GROUP BY label, dim
         """,
         "heavy_hitter_terms": r"""
             WITH tok AS (

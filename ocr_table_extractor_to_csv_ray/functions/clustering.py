@@ -166,3 +166,63 @@ def kmeans_embeddings(ds, k: int = 8, n_iters: int = 5,
 
     return (vecs().map_batches(final_assign, batch_format="pyarrow"),
             centroids)
+
+
+def grouped_centroid_fixedpoint(ds, group_col: str = "label",
+                                vec_col: str = "embedding",
+                                scale: int = 1_000_000):
+    """Mean-pooled embedding centroid PER GROUP, engine-portable: each
+    vector element is fixed-pointed (``floor(float64(v) · scale)`` —
+    the same per-element op any SQL engine computes after its own
+    float32→double promotion, so partials are integers and the sums are
+    order-independent), per-batch partials collapse a whole batch to
+    ≤ |groups in batch| × dim rows, and ONE key shuffle finishes the
+    sum. Output rows (group, dim, sum_fp:int64, n:int64); consumers
+    divide at the edge (``sum_fp / (n·scale)``) — the quotient is NOT
+    emitted because floor-vs-truncate division of negative sums differs
+    across engines.
+
+    The group key column keeps its input dtype. Vectors must be
+    fixed-dimension across the dataset (ragged input fails loudly in
+    the reshape)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = (t[group_col].combine_chunks()
+               if isinstance(t[group_col], pa.ChunkedArray) else t[group_col])
+        lab = col.to_numpy(zero_copy_only=False)
+        mat = _mat(t, vec_col)
+        if not len(lab):
+            return pa.table({group_col: col, "dim": pa.array([], pa.int64()),
+                             "sum_fp": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        fp = np.floor(mat * float(scale)).astype(np.int64)
+        codes, idx = np.unique(lab, return_inverse=True)
+        dim = fp.shape[1]
+        sums = np.zeros((len(codes), dim), np.int64)
+        np.add.at(sums, idx, fp)
+        ns = np.bincount(idx, minlength=len(codes)).astype(np.int64)
+        return pa.table({
+            group_col: pa.array(np.repeat(codes, dim), type=col.type),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64),
+                                    len(codes))),
+            "sum_fp": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(ns, dim)),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby([group_col, "dim"])
+           .aggregate(Sum("sum_fp", alias_name="sum_fp"),
+                      Sum("n", alias_name="n")))
+
+    # Ray's groupby upcasts the key to int64 — restore the input dtype
+    # (the driver's value-hash compare is dtype-sensitive)
+    import pyarrow.compute as pc
+    sch = ds.schema()          # ray.data Schema: parallel names/types
+    key_type = dict(zip(sch.names, sch.types))[group_col]
+
+    def recast(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index(group_col), group_col,
+                            pc.cast(t[group_col], key_type))
+
+    return agg.map_batches(recast, batch_format="pyarrow")

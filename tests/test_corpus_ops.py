@@ -939,3 +939,39 @@ def test_heavy_hitter_terms_rejects_bad_phi(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"text": ["a"]}))
     with pytest.raises(ValueError, match="phi_den"):
         heavy_hitter_terms(ds, phi_den=1)
+
+
+def test_grouped_centroid_fixedpoint_exact_and_dtype(ray_session):
+    """Per-group vector mean pooling: integer fixed-point sums match a
+    numpy reference exactly, the group key keeps its input dtype
+    (int32) through Ray's int64-upcasting groupby, and ragged vectors
+    fail loudly."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_table_extractor_to_csv_ray.functions.clustering import (
+        grouped_centroid_fixedpoint)
+
+    rng = np.random.RandomState(11)
+    n, dim = 300, 8
+    lab = rng.randint(0, 4, n).astype(np.int32)
+    mat = rng.randn(n, dim).astype(np.float32)
+    t = pa.table({"label": pa.array(lab),
+                  "embedding": pa.array(list(mat),
+                                        pa.list_(pa.float32()))})
+    out = (grouped_centroid_fixedpoint(rd.from_arrow(t).repartition(5))
+           .to_pandas().sort_values(["label", "dim"]).reset_index(drop=True))
+    assert out["label"].dtype == np.int32
+    fp = np.floor(mat.astype(np.float64) * 1e6).astype(np.int64)
+    for g in np.unique(lab):
+        sub = out[out["label"] == g]
+        assert (sub["sum_fp"].to_numpy() == fp[lab == g].sum(axis=0)).all()
+        assert (sub["n"].to_numpy() == (lab == g).sum()).all()
+
+    ragged = pa.table({"label": pa.array([1, 2], pa.int32()),
+                       "embedding": pa.array([[1.0, 2.0], [3.0]],
+                                             pa.list_(pa.float32()))})
+    with pytest.raises(Exception):
+        grouped_centroid_fixedpoint(rd.from_arrow(ragged)).to_pandas()

@@ -1398,6 +1398,32 @@ def _label_centroids(sf_dir: str):
                                        vec_col="embedding")
 
 
+def _docs_equidepth_buckets(sf_dir: str):
+    """Equi-depth quartile bucketing of documents by character length
+    (curriculum binning): exact global quantile boundaries over the
+    distinct-length histogram, broadcast searchsorted assignment — ties
+    share a bucket (value-based, deterministic), unlike SQL NTILE. The
+    length projection is recomputed for the two passes (histogram,
+    assign) — the documented recompute-not-materialize default."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from ocr_table_extractor_to_csv_ray.functions.quantiles import (
+        equidepth_buckets)
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def with_len(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_chars": pc.cast(pc.utf8_length(t["text"]),
+                                            pa.int64())})
+
+    return equidepth_buckets(docs.map_batches(with_len,
+                                              batch_format="pyarrow"),
+                             value_col="n_chars", id_col="doc_id",
+                             n_buckets=4)
+
+
 def _customer_order_counts(sf_dir: str):
     """TPC-H-Q13-shaped distribution: orders per customer INCLUDING
     zero-order customers (left outer), histogrammed. The orders side is
@@ -1916,6 +1942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rows_window": _events_rows_window,
         "heavy_hitter_terms": _heavy_hitter_terms,
         "label_centroids": _label_centroids,
+        "docs_equidepth_buckets": _docs_equidepth_buckets,
         "customer_order_counts": _customer_order_counts,
         "customers_without_orders": _customers_without_orders,
         "events_latest_state": _events_latest_state,
@@ -2625,6 +2652,22 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "docs_equidepth_buckets": """
+            WITH t AS (SELECT doc_id, length(text) AS v FROM documents),
+            n AS (SELECT count(*) AS c FROM t),
+            vc AS (SELECT v, count(*) AS cnt FROM t GROUP BY v),
+            cc AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM vc),
+            bnd AS (
+                SELECT i.i, min(cc.v) AS q
+                FROM cc, n,
+                     (SELECT unnest([1, 2, 3]) AS i) i
+                WHERE cc.cum >= (i.i * n.c + 3) // 4
+                GROUP BY i.i)
+            SELECT t.doc_id,
+                   CAST(1 + (SELECT count(*) FROM bnd WHERE bnd.q < t.v)
+                        AS BIGINT) AS bucket
+            FROM t
         """,
         "label_centroids": """
             WITH u AS (

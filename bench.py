@@ -155,7 +155,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
               # combined partials) and the two fine-tune strategies
               # (fedavg rounds vs per-minibatch gradient all-reduce)
               "eval_generic_vs_dynamic", "finetune_layoutlm",
-              "finetune_stepsync"):
+              "finetune_stepsync",
+              # round 4: distributed COUNT DISTINCT (fused-key dedup,
+              # two aggregate floors) and the two-pass no-vocabulary-
+              # shuffle heavy hitters
+              "supplier_distinct_parts", "heavy_hitter_terms"):
         timed(q, lambda q=q: consume(q))
 
     total = round(sum(timings.values()), 3)

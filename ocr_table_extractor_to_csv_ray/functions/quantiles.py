@@ -217,3 +217,64 @@ def grouped_sketch_quantiles(ds, group_col: str, value_col: str,
 
     return sketches.groupby(group_col).map_groups(merge_group,
                                                   batch_format="pandas")
+
+
+def equidepth_buckets(ds, value_col: str, id_col: str = "doc_id",
+                      n_buckets: int = 4):
+    """Global equi-depth (quantile) bucketing — the curriculum/binning
+    primitive: boundaries are the exact type-1 quantiles at i/n_buckets
+    (i = 1..n_buckets−1) of the integer ``value_col``, computed over the
+    DISTINCT-VALUE weighted histogram (one shuffle of distinct values,
+    never rows — the same discrete-domain contract as
+    ``grouped_discrete_quantiles``); rows are then assigned
+    ``bucket = 1 + #(boundaries < value)`` in a broadcast searchsorted
+    pass, so ties share a bucket deterministically (value-based, unlike
+    SQL NTILE's arbitrary row split).
+
+    All threshold math is integer (``ceil(i·n / n_buckets)`` as
+    ``(i·n + n_buckets − 1) // n_buckets``) — engine-portable. Skewed
+    data can collapse adjacent boundaries; duplicates are kept so the
+    bucket ids still match the SQL count-of-boundaries-below contract.
+
+    Returns a Dataset (id_col, bucket:int64).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"__v": pc.cast(t[value_col], pa.int64())})
+             .group_by("__v").aggregate([("__v", "count")]))
+        return pa.table({"__v": g["__v"],
+                         "c": pc.cast(g["__v_count"], pa.int64())})
+
+    hist = (ds.select_columns([value_col])
+            .map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("__v").aggregate(Sum("c", alias_name="c"))
+            .to_pandas())                      # ≤ |distinct values| rows
+    hist = hist.sort_values("__v", kind="mergesort")
+    vals = hist["__v"].to_numpy(np.int64)
+    cum = hist["c"].to_numpy(np.int64).cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        raise ValueError("equidepth_buckets: empty input")
+    # type-1 quantile: smallest v with cumulative count >= ceil(i*n/k)
+    thresholds = [(i * n + n_buckets - 1) // n_buckets
+                  for i in range(1, n_buckets)]
+    bnd = np.array([vals[np.searchsorted(cum, t, side="left")]
+                    for t in thresholds], dtype=np.int64)
+    bnd_ref = ray.put(np.sort(bnd))
+
+    def assign(t: pa.Table) -> pa.Table:
+        b = ray.get(bnd_ref)
+        v = pc.cast(t[value_col], pa.int64()).to_numpy()
+        return pa.table({
+            id_col: t[id_col],
+            "bucket": pa.array(
+                1 + np.searchsorted(b, v, side="left").astype(np.int64)),
+        })
+
+    return ds.select_columns([id_col, value_col]).map_batches(
+        assign, batch_format="pyarrow")

@@ -975,3 +975,38 @@ def test_grouped_centroid_fixedpoint_exact_and_dtype(ray_session):
                                              pa.list_(pa.float32()))})
     with pytest.raises(Exception):
         grouped_centroid_fixedpoint(rd.from_arrow(ragged)).to_pandas()
+
+
+def test_equidepth_buckets_quartiles_and_ties(ray_session):
+    """Bucket boundaries are exact type-1 quantiles; equal values always
+    share a bucket; bucket populations are balanced up to tie mass."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_table_extractor_to_csv_ray.functions.quantiles import (
+        equidepth_buckets)
+
+    rng = np.random.RandomState(5)
+    v = rng.randint(0, 50, 1000).astype(np.int64)   # heavy ties
+    df = pd.DataFrame({"doc_id": np.arange(1000, dtype=np.int64),
+                       "n_chars": v})
+    out = (equidepth_buckets(rd.from_pandas(df).repartition(7),
+                             value_col="n_chars", id_col="doc_id",
+                             n_buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # SQL-contract reference: boundaries = smallest value whose cum
+    # count >= ceil(i*n/4); bucket = 1 + #(boundaries < value)
+    s = np.sort(v)
+    n = len(s)
+    bnd = np.array([s[(i * n + 3) // 4 - 1] for i in (1, 2, 3)])
+    exp = 1 + np.searchsorted(np.sort(bnd), v, side="left")
+    assert (out["bucket"].to_numpy() == exp).all()
+    # ties: every equal value maps to one bucket
+    m = pd.DataFrame({"v": v, "b": out["bucket"]})
+    assert (m.groupby("v")["b"].nunique() == 1).all()
+    assert set(out["bucket"]) <= {1, 2, 3, 4}
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        equidepth_buckets(rd.from_pandas(df), value_col="n_chars",
+                          n_buckets=1)

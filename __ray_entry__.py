@@ -1424,6 +1424,36 @@ def _docs_equidepth_buckets(sf_dir: str):
                              n_buckets=4)
 
 
+def _event_type_transitions(sf_dir: str):
+    """Markov transition-count matrix over per-user event sequences:
+    per key, sort by (ts, event_id), pair each event with its
+    predecessor (LAG), then count (prev_type → next_type) globally.
+    The per-key task emits ≤ |types|² partial-count rows (not event
+    rows), so the final shuffle moves a transition matrix per key, not
+    the event stream — same one-key-per-task contract as sessionize."""
+    import ray.data as rd
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_id", "ts",
+                                  "event_type"])
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        prev = g["event_type"].shift(1)
+        pairs = pd.DataFrame({"prev_type": prev[1:].to_numpy(),
+                              "next_type": g["event_type"][1:].to_numpy()})
+        out = (pairs.groupby(["prev_type", "next_type"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return (ev.groupby("user_id").map_groups(per_key, batch_format="pandas")
+            .groupby(["prev_type", "next_type"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
 def _customer_order_counts(sf_dir: str):
     """TPC-H-Q13-shaped distribution: orders per customer INCLUDING
     zero-order customers (left outer), histogrammed. The orders side is
@@ -1943,6 +1973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_terms": _heavy_hitter_terms,
         "label_centroids": _label_centroids,
         "docs_equidepth_buckets": _docs_equidepth_buckets,
+        "event_type_transitions": _event_type_transitions,
         "customer_order_counts": _customer_order_counts,
         "customers_without_orders": _customers_without_orders,
         "events_latest_state": _events_latest_state,
@@ -2652,6 +2683,18 @@ def oracle_sql() -> dict[str, str]:
             FROM e
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "event_type_transitions": """
+            WITH o AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                           AS prev_type
+                FROM events)
+            SELECT prev_type, event_type AS next_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM o WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
         """,
         "docs_equidepth_buckets": """
             WITH t AS (SELECT doc_id, length(text) AS v FROM documents),

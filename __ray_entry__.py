@@ -591,6 +591,39 @@ def _dedup_lines(sf_dir: str):
     return duplicate_line_removal(ds)
 
 
+def _dedup_lines_diff_count(sf_dir: str):
+    """Migration-validation diff (functions/diff.py): how many docs did
+    duplicate-line removal actually change? Both sides stream to
+    per-block (row_hash, n) partials, one key shuffle, scalar roll-up —
+    validates the distributed diff against an independently-computed
+    SQL predicate (the dedup_lines oracle re-joined to its input)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ocr_table_extractor_to_csv_ray.functions.dedup import (
+        duplicate_line_removal)
+    from ocr_table_extractor_to_csv_ray.functions.diff import diff_summary
+
+    def inject(t: pa.Table) -> pa.Table:
+        sec = pa.array((t["doc_id"].to_numpy() % 20).astype(str))
+        text = pc.fill_null(t["text"], "")
+        footer = pc.binary_join_element_wise(
+            "SECTION ", sec, " COMMON FOOTER BOILERPLATE", "")
+        joined = pc.binary_join_element_wise(
+            "NAVIGATION MENU HOME ABOUT CONTACT", text, footer, "tail", "\n")
+        return pa.table({"doc_id": t["doc_id"], "text": joined})
+
+    inj = lambda: (_docs(sf_dir).select_columns(["doc_id", "text"])
+                   .map_batches(inject, batch_format="pyarrow"))
+    cleaned = duplicate_line_removal(inj()).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "text": t["text_clean"]}),
+        batch_format="pyarrow")
+    s = diff_summary(inj(), cleaned, columns=["doc_id", "text"])
+    # doc_ids are unique and identical on both sides, so excess-left ==
+    # excess-right == number of docs whose text changed
+    return pd.DataFrame({"n_changed": pd.array([s["only_left"]],
+                                               dtype="int64")})
+
+
 def _lang_temperature_sample(sf_dir: str):
     """α=0.5 temperature rebalancing of the language mixture: global
     per-lang counts → keep-rate sqrt(n_min/n) → content-hash filter
@@ -1974,6 +2007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _label_centroids,
         "docs_equidepth_buckets": _docs_equidepth_buckets,
         "event_type_transitions": _event_type_transitions,
+        "dedup_lines_diff_count": _dedup_lines_diff_count,
         "customer_order_counts": _customer_order_counts,
         "customers_without_orders": _customers_without_orders,
         "events_latest_state": _events_latest_state,
@@ -2446,6 +2480,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_scrub": _pii_oracle_sql(),
         "dedup_lines": _DEDUP_LINES_SQL,
+        "dedup_lines_diff_count": f"""
+            SELECT CAST(count(*) AS BIGINT) AS n_changed
+            FROM ({_DEDUP_LINES_SQL}) dl
+            JOIN (SELECT doc_id,
+                         'NAVIGATION MENU HOME ABOUT CONTACT' || chr(10)
+                         || text || chr(10) || 'SECTION '
+                         || CAST(doc_id % 20 AS VARCHAR)
+                         || ' COMMON FOOTER BOILERPLATE' || chr(10)
+                         || 'tail' AS text
+                  FROM documents) inj USING (doc_id)
+            WHERE dl.text_clean <> inj.text
+        """,
         "decontam_eval": _DECONTAM_SQL,
         "repetition_stats": _REPETITION_SQL,
         "pack_sequences": r"""

@@ -1010,3 +1010,36 @@ def test_equidepth_buckets_quartiles_and_ties(ray_session):
     with pytest.raises(ValueError, match="n_buckets"):
         equidepth_buckets(rd.from_pandas(df), value_col="n_chars",
                           n_buckets=1)
+
+
+def test_dataset_diff_multiset_semantics(ray_session):
+    """Symmetric multiset diff by content hash: equal tables diff empty;
+    mutation, deletion and duplication each surface with correct
+    per-side excess counts."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_table_extractor_to_csv_ray.functions.diff import (
+        dataset_diff, diff_summary)
+
+    a = pd.DataFrame({"k": np.arange(100, dtype=np.int64),
+                      "v": [f"row{i}" for i in range(100)]})
+    same = dataset_diff(rd.from_pandas(a).repartition(4),
+                        rd.from_pandas(a.sample(frac=1, random_state=0))
+                        .repartition(3)).to_pandas()
+    assert len(same) == 0                      # order-independent
+
+    b = a.copy()
+    b.loc[5, "v"] = "mutated"                  # 1 changed
+    b = b[b["k"] != 7]                         # 1 deleted from right
+    b = pd.concat([b, a.iloc[[9]]])            # 1 duplicated on right
+    s = diff_summary(rd.from_pandas(a).repartition(4),
+                     rd.from_pandas(b).repartition(4))
+    # left excess: old row 5, deleted row 7 -> 2; right excess:
+    # mutated row 5, extra copy of row 9 -> 2
+    assert s == {"only_left": 2, "only_right": 2}
+
+    # column subset: diff on k only ignores the mutation
+    s2 = diff_summary(rd.from_pandas(a), rd.from_pandas(b), columns=["k"])
+    assert s2 == {"only_left": 1, "only_right": 1}

@@ -331,14 +331,15 @@ def heavy_hitter_terms(ds, column: str = "text", phi_den: int = 500):
     only ≤ phi_den candidates per block).
 
     Pass 1 (candidates): per block, dictionary-encode + bincount, keep
-    tokens with local count · phi_den > local block token count. This is
+    tokens with local count · phi_den ≥ local block token count. This is
     the vectorized equivalent of a per-block Misra-Gries summary and
-    carries the same union guarantee: if a token misses EVERY block's
-    cut, then c_b ≤ N_b/phi_den for all blocks, so its global count is
-    ≤ N/phi_den — the union of per-block candidates is a superset of
-    the true heavy hitters. ≤ phi_den candidates per block, merged by a
-    small distributed groupby (first-seen spelling kept; counts from
-    pass 1 are partial and discarded).
+    carries the union guarantee MATCHING the final ≥ filter: if a token
+    misses EVERY block's cut, then c_b · phi_den < N_b for all blocks,
+    so C · phi_den < N — the union of per-block candidates is a strict
+    superset of every token the ≥ threshold can emit (a > block rule
+    would miss the pathological all-blocks-exactly-at-threshold tie).
+    ≤ phi_den candidates per block, merged by a small distributed
+    groupby (counts from pass 1 are partial and discarded).
 
     Pass 2 (exact recount): the candidate token set is broadcast once
     (``ray.put``), each block emits exact counts for candidate tokens
@@ -376,7 +377,7 @@ def heavy_hitter_terms(ds, column: str = "text", phi_den: int = 500):
     def candidates_batch(t: pa.Table) -> pa.Table:
         vocab, cnt = _local_counts(t)
         n_b = int(cnt.sum())
-        keep = cnt * phi_den > n_b
+        keep = cnt * phi_den >= n_b
         return pa.table({"token": vocab.filter(pa.array(keep)),
                          "one": pa.array(np.ones(int(keep.sum()), np.int64))})
 

@@ -292,3 +292,69 @@ def test_minhash_min_stability(sa, sb, seed):
     assert (minhash_signature(arr(both), a, b) == sig_ab).all() or not (sa + sb)
     if not sa:
         assert all(int(x) == _MERSENNE for x in sig_a)
+
+
+# ---------------------------------------------------------------- round 4
+
+@settings(max_examples=25, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=-1000, max_value=1000),
+                  min_size=1, max_size=300),
+    k=st.integers(min_value=2, max_value=7),
+)
+def test_equidepth_bucket_assignment_fuzz(vals, k):
+    """Pure-kernel fuzz of the equi-depth contract (no Ray): the
+    boundary set is the exact type-1 quantiles, assignment is
+    1 + #(boundaries < v), ties never split, buckets are monotone in
+    the value."""
+    import numpy as np
+
+    v = np.array(vals, dtype=np.int64)
+    s = np.sort(v)
+    n = len(s)
+    bnd = np.sort(np.array(
+        [s[(i * n + k - 1) // k - 1] for i in range(1, k)], dtype=np.int64))
+    bucket = 1 + np.searchsorted(bnd, v, side="left")
+    assert bucket.min() >= 1 and bucket.max() <= k
+    order = np.argsort(v, kind="mergesort")
+    assert (np.diff(bucket[order]) >= 0).all()          # monotone in value
+    for u in np.unique(v):                              # ties share a bucket
+        assert len(np.unique(bucket[v == u])) == 1
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    zipf_a=st.floats(min_value=1.2, max_value=2.5),
+    n_tokens=st.integers(min_value=200, max_value=1500),
+    phi_den=st.integers(min_value=5, max_value=60),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_heavy_hitter_block_union_superset_fuzz(zipf_a, n_tokens, phi_den,
+                                                seed):
+    """The per-block candidate rule (local count · phi_den > block
+    total) must union to a superset of the true φ-heavy hitters for ANY
+    split of the corpus into blocks — the guarantee the distributed
+    implementation rests on. Pure-kernel fuzz (no Ray)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    toks = np.minimum(rng.zipf(zipf_a, n_tokens), 60)
+    # random contiguous split into 1..8 blocks
+    n_blocks = rng.randint(1, 9)
+    cuts = np.sort(rng.choice(np.arange(1, n_tokens),
+                              size=min(n_blocks - 1, n_tokens - 1),
+                              replace=False)) if n_blocks > 1 else []
+    blocks = np.split(toks, cuts)
+
+    cands = set()
+    for b in blocks:
+        u, c = np.unique(b, return_counts=True)
+        cands.update(u[c * phi_den >= len(b)].tolist())   # the impl's rule
+
+    u, c = np.unique(toks, return_counts=True)
+    true_hh = set(u[c * phi_den >= n_tokens].tolist())    # the impl's filter
+    # ≥-block-rule ⇒ ≥-filter superset: missing everywhere means
+    # c_b·phi < N_b strictly in every block, so C·phi < N strictly —
+    # INCLUDING the all-blocks-exactly-at-threshold boundary tie that a
+    # strict > block rule would miss
+    assert true_hh <= cands

@@ -80,5 +80,7 @@ def diff_summary(left, right,
     agg = diffs.map_batches(partial, batch_format="pyarrow").aggregate(
         Sum("only_left", alias_name="only_left"),
         Sum("only_right", alias_name="only_right"))
+    if not agg:          # zero-block inputs (both sides empty datasets)
+        return {"only_left": 0, "only_right": 0}
     return {"only_left": int(agg["only_left"] or 0),
             "only_right": int(agg["only_right"] or 0)}

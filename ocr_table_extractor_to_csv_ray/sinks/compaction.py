@@ -48,7 +48,10 @@ def plan_groups(files: Sequence[Tuple[str, int]],
                 break
         else:
             bins.append([path])
-            room.append(max(0, target_bytes - size))
+            # may go negative for an oversized file — that CLOSES the
+            # bin (even a zero-byte file must not join it, or the
+            # "over target ⇒ singleton" retry invariant breaks)
+            room.append(target_bytes - size)
     return bins
 
 

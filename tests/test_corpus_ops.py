@@ -1043,3 +1043,86 @@ def test_dataset_diff_multiset_semantics(ray_session):
     # column subset: diff on k only ignores the mutation
     s2 = diff_summary(rd.from_pandas(a), rd.from_pandas(b), columns=["k"])
     assert s2 == {"only_left": 1, "only_right": 1}
+
+
+def test_rows_window_agg_random_frames(ray_session):
+    """ROWS frame at several k values vs pandas rolling (one Ray session,
+    deterministic seeds — the hypothesis-style sweep without per-example
+    Dataset overhead)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_table_extractor_to_csv_ray.functions.window import rows_window_agg
+
+    for seed, k in [(0, 0), (1, 1), (2, 4), (3, 9)]:
+        rng = np.random.RandomState(seed)
+        n = 200
+        df = pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, 4, n).astype(np.int64),
+            "ts": pd.to_datetime(rng.randint(0, 30, n), unit="s"),
+            "cents": rng.randint(-500, 500, n).astype(np.int64),
+        })
+        out = (rows_window_agg(rd.from_pandas(df).repartition(3),
+                               key="user_id", ts="ts",
+                               order_tiebreak="event_id",
+                               preceding_rows=k, value_cents="cents")
+               .to_pandas().sort_values("event_id").reset_index(drop=True))
+        exp = df.sort_values(["user_id", "ts", "event_id"]).copy()
+        g = exp.groupby("user_id")["cents"]
+        exp["ms"] = (g.rolling(k + 1, min_periods=1).sum()
+                     .reset_index(level=0, drop=True).astype(np.int64))
+        exp = exp.sort_values("event_id").reset_index(drop=True)
+        assert (out["moving_sum_cents"].to_numpy()
+                == exp["ms"].to_numpy()).all(), (seed, k)
+
+
+def test_dataset_diff_random_multisets(ray_session):
+    """diff_summary vs a Counter ground truth over random multisets
+    (duplicate rows included)."""
+    import collections
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_table_extractor_to_csv_ray.functions.diff import diff_summary
+
+    for seed in (0, 1, 2):
+        rng = np.random.RandomState(seed)
+        a = rng.randint(0, 12, 150)             # small domain -> many dups
+        b = rng.randint(0, 12, 140)
+        ca, cb = collections.Counter(a.tolist()), collections.Counter(b.tolist())
+        only_left = sum(max(ca[k] - cb.get(k, 0), 0) for k in ca)
+        only_right = sum(max(cb[k] - ca.get(k, 0), 0) for k in cb)
+        s = diff_summary(
+            rd.from_pandas(pd.DataFrame({"v": a.astype(np.int64)})).repartition(4),
+            rd.from_pandas(pd.DataFrame({"v": b.astype(np.int64)})).repartition(3))
+        assert s == {"only_left": only_left, "only_right": only_right}, seed
+
+
+def test_grouped_centroid_string_group_key(ray_session):
+    """The group key dtype restore must work for STRING keys too (the
+    by-lang centroid case), not just int32."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_table_extractor_to_csv_ray.functions.clustering import (
+        grouped_centroid_fixedpoint)
+
+    rng = np.random.RandomState(4)
+    n, dim = 120, 5
+    langs = np.array(["en", "de", "fr"])[rng.randint(0, 3, n)]
+    mat = rng.randn(n, dim).astype(np.float32)
+    t = pa.table({"lang": pa.array(langs), 
+                  "embedding": pa.array(list(mat), pa.list_(pa.float32()))})
+    out = (grouped_centroid_fixedpoint(rd.from_arrow(t).repartition(4),
+                                       group_col="lang")
+           .to_pandas().sort_values(["lang", "dim"]).reset_index(drop=True))
+    fp = np.floor(mat.astype(np.float64) * 1e6).astype(np.int64)
+    for g in np.unique(langs):
+        sub = out[out["lang"] == g]
+        assert (sub["sum_fp"].to_numpy() == fp[langs == g].sum(axis=0)).all()
+        assert (sub["n"].to_numpy() == int((langs == g).sum())).all()

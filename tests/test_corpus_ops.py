@@ -1126,3 +1126,77 @@ def test_grouped_centroid_string_group_key(ray_session):
         sub = out[out["lang"] == g]
         assert (sub["sum_fp"].to_numpy() == fp[langs == g].sum(axis=0)).all()
         assert (sub["n"].to_numpy() == int((langs == g).sum())).all()
+
+
+def test_morton2_matches_slow_reference():
+    """Vectorized magic-number interleave vs a bit-by-bit reference."""
+    import numpy as np
+
+    from ocr_table_extractor_to_csv_ray.functions.zorder import morton2
+
+    rng = np.random.RandomState(9)
+    x = rng.randint(0, 1 << 31, 500).astype(np.int64)
+    y = rng.randint(0, 1 << 31, 500).astype(np.int64)
+
+    def slow(a, b):
+        k = 0
+        for i in range(31):
+            k |= ((int(a) >> i) & 1) << (2 * i)
+            k |= ((int(b) >> i) & 1) << (2 * i + 1)
+        return k
+
+    got = morton2(x, y)
+    exp = np.array([slow(a, b) for a, b in zip(x, y)], dtype=np.int64)
+    assert (got == exp).all()
+    with pytest.raises(ValueError, match="morton2"):
+        morton2(np.array([-1]), np.array([0]))
+
+
+def test_zorder_sorted_improves_2d_locality(ray_session):
+    """After z-order sort, rows inside a small 2D query box occupy a
+    much narrower band of row positions than under a single-column
+    sort — the property that makes range scans prune files."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_table_extractor_to_csv_ray.functions.zorder import zorder_sorted
+
+    rng = np.random.RandomState(3)
+    n = 4000
+    df = pd.DataFrame({"a": rng.randint(0, 1000, n).astype(np.int64),
+                       "b": rng.randint(0, 1000, n).astype(np.int64)})
+    z = (zorder_sorted(rd.from_pandas(df).repartition(8), ["a", "b"],
+                       bits=10)
+         .to_pandas().reset_index(drop=True))
+    # z-key strictly sorted overall, content preserved
+    assert (np.diff(z["__zkey"].to_numpy()) >= 0).all()
+    assert sorted(map(tuple, z[["a", "b"]].to_numpy())) == \
+           sorted(map(tuple, df[["a", "b"]].to_numpy()))
+
+    def band(frame, qa, qb):
+        m = (frame["a"].between(*qa) & frame["b"].between(*qb)).to_numpy()
+        pos = np.nonzero(m)[0]
+        return (pos.max() - pos.min() + 1) / max(1, len(pos))
+
+    def files(frame, qa, qb, fsz=256):
+        m = (frame["a"].between(*qa) & frame["b"].between(*qb)).to_numpy()
+        return len(np.unique(np.nonzero(m)[0] // fsz))
+
+    one_col = df.sort_values("a", kind="mergesort").reset_index(drop=True)
+    boxes = [((100, 160), (400, 460)), ((700, 760), (50, 110)),
+             ((300, 360), (800, 860)), ((500, 560), (500, 560)),
+             ((0, 60), (900, 960))]
+    z_band = np.mean([band(z, qa, qb) for qa, qb in boxes])
+    a_band = np.mean([band(one_col, qa, qb) for qa, qb in boxes])
+    # a-sort localizes 'a' but scatters 'b' across its whole stripe;
+    # z-order must be clearly tighter on row-band AND touch fewer
+    # 256-row "files" (deterministic seed; measured 6.7 vs 12.2 band,
+    # 6 vs 9 files)
+    assert z_band * 1.5 < a_band, (z_band, a_band)
+    z_files = sum(files(z, qa, qb) for qa, qb in boxes)
+    a_files = sum(files(one_col, qa, qb) for qa, qb in boxes)
+    assert z_files < a_files, (z_files, a_files)
+
+    with pytest.raises(ValueError, match="exactly 2"):
+        zorder_sorted(rd.from_pandas(df), ["a"])

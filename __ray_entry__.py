@@ -624,6 +624,23 @@ def _dedup_lines_diff_count(sf_dir: str):
                                                dtype="int64")})
 
 
+_MIXTURE_WEIGHTS = {"en": 0.3, "es": 0.25, "fr": 0.25, "de": 0.2}
+
+
+def _lang_mixture_sample(sf_dir: str):
+    """Target-mixture resampling by CHARACTER budget: keep-rates scale
+    each language's kept chars toward the weight vector (zh absent from
+    the weights → dropped; the binding stratum keeps 100%). One tiny
+    groupby + broadcast content-hash filter
+    (functions/sampling.py::mixture_sample)."""
+    from ocr_table_extractor_to_csv_ray.functions.sampling import (
+        mixture_sample)
+    return mixture_sample(
+        _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"]),
+        weights=_MIXTURE_WEIGHTS, budget_column="n_chars",
+    ).select_columns(["doc_id", "lang"])
+
+
 def _lang_temperature_sample(sf_dir: str):
     """α=0.5 temperature rebalancing of the language mixture: global
     per-lang counts → keep-rate sqrt(n_min/n) → content-hash filter
@@ -1978,6 +1995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sampling / per-group selection
         "stratified_sample": _stratified_sample,
         "lang_temperature_sample": _lang_temperature_sample,
+        "lang_mixture_sample": _lang_mixture_sample,
         "topk_docs_per_lang": _topk_docs_per_lang,
         # distinct counts / sketches
         "vocab_size": _vocab_size,
@@ -2538,6 +2556,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corpus_prep": _corpus_prep_oracle_sql(),
         "lang_temperature_sample": _LANG_TEMPERATURE_SQL,
+        "lang_mixture_sample": """
+            WITH t AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS tok
+                       FROM documents GROUP BY lang),
+            w AS (SELECT * FROM (VALUES ('en', 0.3), ('es', 0.25),
+                                        ('fr', 0.25), ('de', 0.2))
+                       AS v(lang, wt)),
+            r AS (SELECT t.lang, t.tok, w.wt,
+                         CAST(t.tok AS DOUBLE) / w.wt AS ratio
+                  FROM t JOIN w USING (lang)),
+            m AS (SELECT min(ratio) AS c FROM r),
+            thr AS (SELECT r.lang,
+                           CASE WHEN r.ratio = m.c THEN 'g'
+                                ELSE printf('%08x', CAST(floor(
+                                     (m.c * r.wt) / CAST(r.tok AS DOUBLE)
+                                     * 4294967296.0) AS BIGINT)) END AS t
+                    FROM r, m)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN thr USING (lang)
+            WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.t
+        """,
         "stratified_sample": """
             SELECT doc_id, lang FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <

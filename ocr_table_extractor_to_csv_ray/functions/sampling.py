@@ -113,3 +113,49 @@ def topk_per_group(ds, group_column: str, sort_column: str, k: int = 3,
         return g
 
     return ds.groupby(group_column).map_groups(per_group, batch_format="pandas")
+
+
+def mixture_sample(ds, weights: Dict[str, float],
+                   stratum_column: str = "lang",
+                   id_column: str = "doc_id",
+                   budget_column: Optional[str] = None):
+    """Resample strata to TARGET MIXTURE WEIGHTS — the
+    build-the-training-mixture op: given weights ``w_s`` (any positive
+    scale) and per-stratum budget totals ``T_s`` (sum of
+    ``budget_column``, or row counts when None), keep-rate is
+    ``r_s = (c · w_s) / T_s`` with ``c = min_s(T_s / w_s)`` — the
+    largest feasible scale WITHOUT upsampling: the binding stratum
+    keeps 100 % and every other thins so the kept budget is ∝ ``w_s``
+    in expectation. Strata absent from ``weights`` are dropped.
+
+    Same scale shape as :func:`temperature_sample`: one tiny
+    ``groupby(stratum)`` aggregate (one row per stratum — the only
+    driver collect), then the broadcast content-hash filter. The rate
+    arithmetic is plain correctly-rounded double ops in a fixed order
+    (``T/w`` → ``min`` → ``(c·w)/T``), so a SQL oracle reproduces the
+    thresholds bit-exactly; the binding stratum is matched by the same
+    ``ratio == c`` comparison on both sides (its recomputed rate may
+    land one ulp under 1.0, so it is special-cased to keep-all)."""
+    from ray.data.aggregate import Count, Sum
+
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("mixture_sample: weights must be positive")
+
+    g = ds.groupby(stratum_column)
+    agg = (g.aggregate(Sum(budget_column, alias_name="t"))
+           if budget_column else g.aggregate(Count(alias_name="t")))
+    totals = agg.to_pandas()                 # one row per stratum
+    ratios = {}
+    for s, t in zip(totals[stratum_column], totals["t"]):
+        if s in weights and int(t) > 0:
+            ratios[s] = int(t) / weights[s]
+    if not ratios:
+        return stratified_sample(ds, {}, stratum_column=stratum_column,
+                                 id_column=id_column, default_rate=0.0)
+    c = min(ratios.values())
+    tot_of = dict(zip(totals[stratum_column], totals["t"]))
+    rates = {s: (1.0 if ratios[s] == c
+                 else (c * weights[s]) / int(tot_of[s]))
+             for s in ratios}
+    return stratified_sample(ds, rates, stratum_column=stratum_column,
+                             id_column=id_column, default_rate=0.0)

@@ -1200,3 +1200,36 @@ def test_zorder_sorted_improves_2d_locality(ray_session):
 
     with pytest.raises(ValueError, match="exactly 2"):
         zorder_sorted(rd.from_pandas(df), ["a"])
+
+
+def test_mixture_sample_targets_weights(ray_session):
+    """Keep-rates: binding stratum keeps 100%, others thin so the kept
+    budget tracks the weight vector; unweighted strata drop entirely."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_table_extractor_to_csv_ray.functions.sampling import (
+        mixture_sample)
+
+    rng = np.random.RandomState(1)
+    langs = np.array(["en"] * 4000 + ["de"] * 500 + ["zh"] * 800)
+    df = pd.DataFrame({"doc_id": np.arange(len(langs), dtype=np.int64),
+                       "lang": langs,
+                       "n_chars": rng.randint(50, 150,
+                                              len(langs)).astype(np.int64)})
+    weights = {"en": 0.5, "de": 0.5}
+    out = (mixture_sample(rd.from_pandas(df).repartition(4), weights,
+                          budget_column="n_chars")
+           .to_pandas())
+    assert set(out["lang"]) <= {"en", "de"}          # zh dropped
+    # de is binding (T_de/0.5 < T_en/0.5): every de row kept
+    assert (out["lang"] == "de").sum() == 500
+    kept = out.groupby("lang")["n_chars"].sum()
+    # kept budgets should be ~equal (w 0.5/0.5); md5 thinning is
+    # deterministic but stochastic-like — allow 15%
+    ratio = kept["en"] / kept["de"]
+    assert 0.85 < ratio < 1.15, ratio
+
+    with pytest.raises(ValueError, match="weights"):
+        mixture_sample(rd.from_pandas(df), {"en": 0.0})

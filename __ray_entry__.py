@@ -1504,6 +1504,255 @@ def _event_type_transitions(sf_dir: str):
             .aggregate(Sum("n", alias_name="n")))
 
 
+def _graph_components(sf_dir: str):
+    """Connected components of the sparse part–supplier co-purchase
+    graph (bipartite: node 2·partkey vs 2·suppkey+1; an edge where a
+    lineitem row with l_linenumber=1 and l_quantity≤2 links them).
+    Distributed hash-min label propagation (functions/graph.py):
+    iterations of join-labels-onto-adjacency + groupby-min until the
+    int64 label-sum fixpoint. CC is invariant to duplicate edges, so
+    the edge kernel dedups per batch only — no global DISTINCT shuffle.
+    Oracle: recursive-CTE min-label closure, feasible because the
+    filtered graph's components are small (measured ≤93 nodes at
+    sf0.1; 0.7 s in DuckDB)."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from ocr_table_extractor_to_csv_ray.functions.graph import (
+        connected_components)
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_suppkey",
+                                  "l_linenumber", "l_quantity"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t["l_linenumber"], 1),
+                    pc.less_equal(t["l_quantity"], 2.0))
+        f = t.filter(m)
+        src = pc.add(pc.multiply(pc.cast(f["l_partkey"], pa.int64()), 2), 0)
+        dst = pc.add(pc.multiply(pc.cast(f["l_suppkey"], pa.int64()), 2), 1)
+        e = pa.table({"src": src, "dst": dst})
+        return e.group_by(["src", "dst"]).aggregate([]).select(
+            ["src", "dst"])
+
+    return connected_components(li.map_batches(edges,
+                                               batch_format="pyarrow"))
+
+
+def _large_order_customers(sf_dir: str):
+    """TPC-H-Q18-shaped: orders whose total lineitem quantity exceeds a
+    threshold, joined back to orders + customer. The fact table shrinks
+    FIRST (per-batch partial sums per orderkey → one groupby → HAVING
+    filter), so the join inputs are the ~6 %-selective qualifying set,
+    never raw lineitem; both join sides then go through the explicit
+    bucketed hash_join (threshold selectivity is data-dependent, so no
+    driver-side collect / broadcast of the qualifying keys)."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+    from ocr_table_extractor_to_csv_ray.functions.join import hash_join
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_orderkey").aggregate([("l_quantity", "sum")])
+        return pa.table({"o_orderkey": g["l_orderkey"],
+                         "qty": g["l_quantity_sum"]})
+
+    big = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("o_orderkey").aggregate(Sum("qty", alias_name="qty"))
+           .filter(expr="qty > 200"))
+
+    def finish_qty(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "total_qty": pc.cast(pc.round(t["qty"]), pa.int64())})
+
+    big = big.map_batches(finish_qty, batch_format="pyarrow")
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_totalprice"])
+    qualified = hash_join(orders, big, key="o_orderkey", num_buckets=16,
+                          how="inner")
+
+    def recast(b):
+        # hash_join's pandas union pads can upcast ints; restore the
+        # chained-join key dtype before bucketing on it again
+        b["c_custkey"] = b["o_custkey"].astype("int64")
+        return b[["c_custkey", "o_orderkey", "o_totalprice", "total_qty"]]
+
+    qualified = qualified.map_batches(recast, batch_format="pandas")
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_name"])
+    out = hash_join(qualified, cust, key="c_custkey", num_buckets=16,
+                    how="inner")
+
+    def project(b):
+        b["o_orderkey"] = b["o_orderkey"].astype("int64")
+        b["total_qty"] = b["total_qty"].astype("int64")
+        return b[["c_custkey", "c_name", "o_orderkey", "o_totalprice",
+                  "total_qty"]]
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+def _cheapest_supplier_per_part(sf_dir: str):
+    """Argmin join-back (TPC-H-Q2-shaped on the tables this corpus
+    has): for every part ever shipped, the supplier offering the
+    minimum l_extendedprice (ties broken by smaller suppkey), joined to
+    the supplier name. The argmin is computed as per-batch partial
+    lexicographic minima (sort + drop_duplicates inside map_batches)
+    before ONE groupby, so the shuffle moves ≤ one row per (part,
+    batch); the supplier dimension is 10k rows/SF — broadcast once via
+    ray.put, zero fact shuffle for the join."""
+    import ray.data as rd
+    import pandas as pd
+    from ocr_table_extractor_to_csv_ray.functions.join import broadcast_join
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_suppkey",
+                                  "l_extendedprice"])
+
+    def argmin_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["l_partkey", "l_extendedprice", "l_suppkey"],
+                          kind="mergesort")
+        return b.drop_duplicates("l_partkey", keep="first")
+
+    def argmin_final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["l_extendedprice", "l_suppkey"],
+                          kind="mergesort").head(1)
+        return pd.DataFrame({
+            "l_partkey": g["l_partkey"].astype("int64").to_numpy(),
+            "l_suppkey": g["l_suppkey"].astype("int64").to_numpy(),
+            "best_price": g["l_extendedprice"].to_numpy()})
+
+    best = (li.map_batches(argmin_partial, batch_format="pandas")
+            .groupby("l_partkey")
+            .map_groups(argmin_final, batch_format="pandas"))
+
+    sup = pd.read_parquet(os.path.join(sf_dir, "supplier.parquet"),
+                          columns=["s_suppkey", "s_name"])
+    sup = sup.rename(columns={"s_suppkey": "l_suppkey"})
+    joined = broadcast_join(best, sup, key="l_suppkey", how="inner")
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["l_partkey", "l_suppkey", "best_price", "s_name"]]
+
+    return joined.map_batches(project, batch_format="pandas")
+
+
+def _doc_token_commonness(sf_dir: str):
+    """Global unigram-LM quality proxy joined back to every document:
+    pass 1 builds corpus-wide token frequencies (per-batch
+    dictionary-encode + bincount partials → one vocabulary groupby);
+    pass 2 re-explodes the corpus to (doc_id, token), hash-joins the
+    frequency table on the token key (vocabulary is unbounded at
+    100 TB, so this is a join, NOT a driver broadcast), and
+    re-aggregates per document. ``commonness`` = Σ over the doc's
+    token occurrences of that token's corpus count — an exact-integer
+    stand-in for unigram log-likelihood (higher = more stereotypical
+    text), the shape a perplexity-bucket filter runs at scale."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+    from ocr_table_extractor_to_csv_ray.functions.join import hash_join
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), r"\s+")
+        toks = (toks.combine_chunks()
+                if isinstance(toks, pa.ChunkedArray) else toks)
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc = pa.array(np.repeat(
+            t["doc_id"].to_numpy(zero_copy_only=False), n), pa.int64())
+        return pa.table({"doc_id": doc, "token": toks.flatten()})
+
+    def freq_partial(t: pa.Table) -> pa.Table:
+        enc = t["token"].combine_chunks().dictionary_encode()
+        cnt = np.bincount(
+            np.asarray(enc.indices.to_numpy(zero_copy_only=False),
+                       np.int64),
+            minlength=len(enc.dictionary))
+        return pa.table({"token": enc.dictionary,
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    toks = docs.map_batches(explode, batch_format="pyarrow")
+    freq = (toks.map_batches(freq_partial, batch_format="pyarrow")
+            .groupby("token").aggregate(Sum("n", alias_name="n")))
+
+    joined = hash_join(toks, freq, key="token", num_buckets=16,
+                       how="inner")
+
+    def per_doc_partial(b) -> pa.Table:
+        g = b.groupby("doc_id", as_index=False).agg(
+            commonness=("n", "sum"), n_tokens=("n", "size"))
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].astype("int64"), pa.int64()),
+            "commonness": pa.array(g["commonness"].astype("int64")),
+            "n_tokens": pa.array(g["n_tokens"].astype("int64"))})
+
+    return (joined.map_batches(per_doc_partial, batch_format="pandas")
+            .groupby("doc_id")
+            .aggregate(Sum("commonness", alias_name="commonness"),
+                       Sum("n_tokens", alias_name="n_tokens")))
+
+
+def _token_bigram_counts(sf_dir: str):
+    """Exact top-20 adjacent token bigrams — the inner loop of one BPE
+    tokenizer-training round, distributed: per-batch vectorized pair
+    counting (shifted token arrays + pandas group-size, no Python
+    loop) → one bigram-vocabulary groupby → per-batch partial top-k →
+    one tiny final top-k (same two-stage top-k contract as
+    functions/sketch.top_terms)."""
+    import ray.data as rd
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir).select_columns(["text"])
+    k = 20
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), r"\s+")
+        toks = (toks.combine_chunks()
+                if isinstance(toks, pa.ChunkedArray) else toks)
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        doc = np.repeat(np.arange(len(n)), n)
+        # adjacent pairs within a doc: positions i, i+1 with same doc
+        keep = np.nonzero(doc[:-1] == doc[1:])[0]
+        df = pd.DataFrame({"w1": flat[keep], "w2": flat[keep + 1]})
+        g = df.groupby(["w1", "w2"], as_index=False).size()
+        # empty batches must still carry string-typed columns or the
+        # block-schema union degrades to null type
+        return pa.table({"w1": pa.array(g["w1"], pa.string()),
+                         "w2": pa.array(g["w2"], pa.string()),
+                         "n": pa.array(g["size"].astype("int64"))})
+
+    summed = (docs.map_batches(pair_partial, batch_format="pyarrow")
+              .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n")))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["n", "w1", "w2"], ascending=[False, True, True],
+            kind="mergesort").head(k)
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        return out.append_column(
+            "g", pa.array(np.zeros(len(df), np.int64)))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "w1", "w2"], ascending=[False, True, True],
+                          kind="mergesort").head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["w1", "w2", "n", "rank"]]
+
+    return (summed.map_batches(local_topk, batch_format="pyarrow")
+            .groupby("g").map_groups(final, batch_format="pandas"))
+
+
 def _customer_order_counts(sf_dir: str):
     """TPC-H-Q13-shaped distribution: orders per customer INCLUDING
     zero-order customers (left outer), histogrammed. The orders side is
@@ -2028,6 +2277,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_lines_diff_count": _dedup_lines_diff_count,
         "customer_order_counts": _customer_order_counts,
         "customers_without_orders": _customers_without_orders,
+        "graph_components": _graph_components,
+        "large_order_customers": _large_order_customers,
+        "cheapest_supplier_per_part": _cheapest_supplier_per_part,
+        "doc_token_commonness": _doc_token_commonness,
+        "token_bigram_counts": _token_bigram_counts,
         "events_latest_state": _events_latest_state,
         "doc_rank_by_length": _doc_rank_by_length,
         "corpus_rollup": _corpus_rollup,
@@ -2818,6 +3072,75 @@ def oracle_sql() -> dict[str, str]:
             FROM tok, tot
             GROUP BY token, tot.n
             HAVING count(*) * 500 >= tot.n
+        """,
+        "graph_components": """
+            WITH RECURSIVE
+            edges AS (
+              SELECT DISTINCT l_partkey*2 AS src, l_suppkey*2+1 AS dst
+              FROM lineitem
+              WHERE l_linenumber = 1 AND l_quantity <= 2),
+            adj AS (SELECT src, dst FROM edges
+                    UNION SELECT dst, src FROM edges),
+            reach(node, lbl) AS (
+              SELECT src, src FROM adj
+              UNION
+              SELECT a.dst, r.lbl FROM adj a
+              JOIN reach r ON r.node = a.src
+              WHERE r.lbl < a.dst)
+            SELECT node, CAST(min(lbl) AS BIGINT) AS component
+            FROM reach GROUP BY node
+        """,
+        "large_order_customers": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(round(sum(l_quantity)) AS BIGINT) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(l_quantity) > 200)
+            SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+                   b.total_qty
+            FROM big b
+            JOIN orders o ON o.o_orderkey = b.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "cheapest_supplier_per_part": """
+            WITH ranked AS (
+                SELECT l_partkey, l_suppkey, l_extendedprice,
+                       row_number() OVER (
+                           PARTITION BY l_partkey
+                           ORDER BY l_extendedprice, l_suppkey) AS rn
+                FROM lineitem)
+            SELECT r.l_partkey, r.l_suppkey,
+                   r.l_extendedprice AS best_price, s.s_name
+            FROM ranked r
+            JOIN supplier s ON s.s_suppkey = r.l_suppkey
+            WHERE rn = 1
+        """,
+        "doc_token_commonness": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+'))
+                           AS token
+                FROM documents),
+            freq AS (SELECT token, count(*) AS n FROM toks GROUP BY token)
+            SELECT t.doc_id,
+                   CAST(sum(f.n) AS BIGINT) AS commonness,
+                   count(*) AS n_tokens
+            FROM toks t JOIN freq f ON f.token = t.token
+            GROUP BY t.doc_id
+        """,
+        "token_bigram_counts": r"""
+            WITH w AS (
+                SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+                FROM documents),
+            pairs AS (
+                SELECT unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)]))
+                           AS p
+                FROM w WHERE len(ws) >= 2),
+            c AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS n
+                  FROM pairs GROUP BY 1, 2)
+            SELECT w1, w2, n,
+                   row_number() OVER (ORDER BY n DESC, w1, w2) AS rank
+            FROM c ORDER BY n DESC, w1, w2 LIMIT 20
         """,
         "customer_order_counts": """
             WITH per_cust AS (

@@ -1,0 +1,83 @@
+"""connected_components vs a pure-Python union-find oracle.
+
+Random graphs (several seeds/densities), a long chain (diameter
+stress: propagation must iterate, not just seed), disjoint cliques,
+self-loops/duplicate edges, empty input, and determinism.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from ocr_table_extractor_to_csv_ray.functions.graph import (
+    connected_components)
+
+
+def _uf_components(pairs):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return sorted((n, find(n)) for n in parent)
+
+
+def _run(pairs, **kw):
+    src = pa.array([a for a, _ in pairs], pa.int64())
+    dst = pa.array([b for _, b in pairs], pa.int64())
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    if len(pairs) > 3:
+        ds = ds.repartition(4)
+    kw.setdefault("num_buckets", 4)  # tiny graphs; keep CI fast
+    out = connected_components(ds, **kw)
+    return sorted((r["node"], r["component"]) for r in out.take_all())
+
+
+@pytest.mark.parametrize("seed,n,m", [(0, 40, 25), (1, 60, 60),
+                                      (2, 80, 200), (3, 30, 8)])
+def test_random_graphs_match_union_find(ray_session, seed, n, m):
+    rng = np.random.default_rng(seed)
+    pairs = [(int(a), int(b))
+             for a, b in zip(rng.integers(0, n, m), rng.integers(0, n, m))]
+    assert _run(pairs) == _uf_components(pairs)
+
+
+def test_long_chain_needs_propagation(ray_session):
+    # path graph 0-1-...-15: diameter 15 — the seed step alone cannot
+    # solve it, so this exercises true multi-round propagation
+    pairs = [(i, i + 1) for i in range(15)]
+    got = _run(pairs)
+    assert got == [(i, 0) for i in range(16)]
+
+
+def test_disjoint_cliques_and_duplicates(ray_session):
+    pairs = []
+    for base in (0, 100, 200):
+        nodes = range(base, base + 5)
+        pairs += [(a, b) for a in nodes for b in nodes]  # incl. self-loops
+    pairs += pairs[:7]  # duplicate edges are harmless
+    got = _run(pairs)
+    assert got == [(base + i, base) for base in (0, 100, 200)
+                   for i in range(5)]
+
+
+def test_empty_edges(ray_session):
+    src = pa.array([], pa.int64())
+    ds = rd.from_arrow(pa.table({"src": src, "dst": src}))
+    assert connected_components(ds).count() == 0
+
+
+def test_deterministic(ray_session):
+    rng = np.random.default_rng(7)
+    pairs = [(int(a), int(b))
+             for a, b in zip(rng.integers(0, 50, 40),
+                             rng.integers(0, 50, 40))]
+    assert _run(pairs) == _run(pairs)

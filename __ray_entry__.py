@@ -1753,6 +1753,65 @@ def _token_bigram_counts(sf_dir: str):
             .groupby("g").map_groups(final, batch_format="pandas"))
 
 
+def _sole_supplier_orders(sf_dir: str):
+    """TPC-H-Q21-flavoured anti-correlation: per supplier, how many
+    orders they supplied ALONE (no other supplier on the order). The
+    fact table is deduped to (orderkey, suppkey) pairs per batch, ONE
+    groupby(orderkey) computes the distinct-supplier count + min
+    supplier, the n_supp=1 survivors shrink to per-batch (suppkey, n)
+    partials, and the supplier name arrives by broadcast — the raw
+    lineitem never shuffles twice."""
+    import ray.data as rd
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from ocr_table_extractor_to_csv_ray.functions.join import broadcast_join
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_suppkey"])
+
+    def pair_dedup(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+            []).select(["l_orderkey", "l_suppkey"])
+
+    def per_order(g: pd.DataFrame) -> pd.DataFrame:
+        supp = g["l_suppkey"].unique()
+        if len(supp) != 1:
+            return pd.DataFrame({"s_suppkey": pd.array([], dtype="int64")})
+        return pd.DataFrame({"s_suppkey": [int(supp[0])]})
+
+    sole = (li.map_batches(pair_dedup, batch_format="pyarrow")
+            .groupby("l_orderkey")
+            .map_groups(per_order, batch_format="pandas"))
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("s_suppkey", as_index=False).size()
+        return pd.DataFrame({"s_suppkey": g["s_suppkey"].astype("int64"),
+                             "n": g["size"].astype("int64")})
+
+    counts = (sole.map_batches(count_partial, batch_format="pandas")
+              .groupby("s_suppkey")
+              .aggregate(Sum("n", alias_name="n_sole_orders")))
+
+    sup = pd.read_parquet(os.path.join(sf_dir, "supplier.parquet"),
+                          columns=["s_suppkey", "s_name"])
+    out = broadcast_join(counts, sup, key="s_suppkey", how="inner")
+    return out.map_batches(
+        lambda b: b[["s_suppkey", "s_name", "n_sole_orders"]],
+        batch_format="pandas")
+
+
+def _consistent_sample(sf_dir: str):
+    """Stable eval-subset selection: the 100 documents with the
+    smallest Knuth multiplicative-hash priority (functions/sampling.py
+    ::consistent_sample). Exact integer arithmetic end-to-end, so the
+    oracle reproduces it; two-stage top-k, never a full sort."""
+    from ocr_table_extractor_to_csv_ray.functions.sampling import (
+        consistent_sample)
+    docs = _docs(sf_dir).select_columns(["doc_id", "lang"])
+    return consistent_sample(docs, k=100, id_column="doc_id",
+                             keep_columns=["doc_id", "lang"])
+
+
 def _customer_order_counts(sf_dir: str):
     """TPC-H-Q13-shaped distribution: orders per customer INCLUDING
     zero-order customers (left outer), histogrammed. The orders side is
@@ -2282,6 +2341,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cheapest_supplier_per_part": _cheapest_supplier_per_part,
         "doc_token_commonness": _doc_token_commonness,
         "token_bigram_counts": _token_bigram_counts,
+        "sole_supplier_orders": _sole_supplier_orders,
+        "consistent_sample": _consistent_sample,
         "events_latest_state": _events_latest_state,
         "doc_rank_by_length": _doc_rank_by_length,
         "corpus_rollup": _corpus_rollup,
@@ -3141,6 +3202,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT w1, w2, n,
                    row_number() OVER (ORDER BY n DESC, w1, w2) AS rank
             FROM c ORDER BY n DESC, w1, w2 LIMIT 20
+        """,
+        "sole_supplier_orders": """
+            WITH per_order AS (
+                SELECT l_orderkey,
+                       count(DISTINCT l_suppkey) AS n_supp,
+                       min(l_suppkey) AS the_supp
+                FROM lineitem GROUP BY l_orderkey)
+            SELECT s.s_suppkey, s.s_name, count(*) AS n_sole_orders
+            FROM per_order p
+            JOIN supplier s ON s.s_suppkey = p.the_supp
+            WHERE p.n_supp = 1
+            GROUP BY s.s_suppkey, s.s_name
+        """,
+        "consistent_sample": """
+            SELECT doc_id, lang,
+                   CAST((doc_id * 2654435761) % 4294967296 AS BIGINT)
+                       AS priority
+            FROM documents
+            ORDER BY priority, doc_id LIMIT 100
         """,
         "customer_order_counts": """
             WITH per_cust AS (

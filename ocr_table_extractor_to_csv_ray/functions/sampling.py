@@ -159,3 +159,39 @@ def mixture_sample(ds, weights: Dict[str, float],
              for s in ratios}
     return stratified_sample(ds, rates, stratum_column=stratum_column,
                              id_column=id_column, default_rate=0.0)
+
+
+def consistent_sample(ds, k: int = 100, id_column: str = "doc_id",
+                      keep_columns: Optional[list] = None):
+    """Deterministic size-``k`` sample: the k rows with the smallest
+    Knuth multiplicative-hash priority ``(id · 2654435761) mod 2^32``
+    (ties → ascending id). Repeatable across runs, engines, and
+    cluster sizes; GROWING the corpus only swaps individual members
+    (each row's priority never changes) — the property a stable eval
+    subset needs. Pure integer arithmetic, so a SQL oracle reproduces
+    it exactly.
+
+    Two-stage exact top-k: per-batch vectorized priority + local head,
+    then one tiny final head — the full corpus is never sorted."""
+    import numpy as np
+    import pyarrow as pa
+
+    cols = keep_columns or [id_column]
+
+    def local(t: pa.Table) -> pa.Table:
+        ids = t[id_column].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pri = ((ids * np.uint64(2654435761)) % np.uint64(1 << 32))
+        t = t.select(cols).append_column(
+            "priority", pa.array(pri.astype(np.int64)))
+        df = t.to_pandas().sort_values(["priority", id_column],
+                                       kind="mergesort").head(k)
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        return out.append_column("g", pa.array(np.zeros(len(df), np.int64)))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["priority", id_column],
+                          kind="mergesort").head(k).reset_index(drop=True)
+        return g[cols + ["priority"]]
+
+    return (ds.map_batches(local, batch_format="pyarrow")
+            .groupby("g").map_groups(final, batch_format="pandas"))

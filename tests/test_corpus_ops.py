@@ -1233,3 +1233,32 @@ def test_mixture_sample_targets_weights(ray_session):
 
     with pytest.raises(ValueError, match="weights"):
         mixture_sample(rd.from_pandas(df), {"en": 0.0})
+
+
+def test_consistent_sample_stable_under_growth(ray_session):
+    """Each row's priority is a pure function of its id, so growing the
+    corpus can only swap members in/out — the intersection of the two
+    samples must equal the smaller corpus's sample minus displaced ids,
+    and every displaced id must be displaced by a smaller priority."""
+    import pandas as pd
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.sampling import (
+        consistent_sample)
+
+    def pri(i):
+        return (i * 2654435761) % (1 << 32)
+
+    small = pd.DataFrame({"doc_id": range(1, 301)})
+    big = pd.DataFrame({"doc_id": range(1, 601)})
+    k = 50
+    s1 = sorted(r["doc_id"] for r in consistent_sample(
+        rd.from_pandas(small).repartition(3), k=k).take_all())
+    s2 = sorted(r["doc_id"] for r in consistent_sample(
+        rd.from_pandas(big).repartition(4), k=k).take_all())
+    exp1 = sorted(sorted(small["doc_id"], key=lambda i: (pri(i), i))[:k])
+    exp2 = sorted(sorted(big["doc_id"], key=lambda i: (pri(i), i))[:k])
+    assert s1 == exp1 and s2 == exp2
+    # determinism across runs
+    s1b = sorted(r["doc_id"] for r in consistent_sample(
+        rd.from_pandas(small).repartition(5), k=k).take_all())
+    assert s1b == s1

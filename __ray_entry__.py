@@ -1753,6 +1753,36 @@ def _token_bigram_counts(sf_dir: str):
             .groupby("g").map_groups(final, batch_format="pandas"))
 
 
+def _graph_pagerank(sf_dir: str):
+    """Fixed-point integer PageRank (10 iterations) over the same
+    part–supplier bipartite graph as graph_components. Iterative
+    joins are not SQL-expressible without engine-specific recursion
+    limits, so this entry is rows-only for the driver; the bit-exact
+    correctness evidence is tests/test_graph.py's sequential-replay
+    equality (same int64 arithmetic, any graph)."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from ocr_table_extractor_to_csv_ray.functions.graph import pagerank
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_suppkey",
+                                  "l_linenumber", "l_quantity"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t["l_linenumber"], 1),
+                    pc.less_equal(t["l_quantity"], 2.0))
+        f = t.filter(m)
+        src = pc.multiply(pc.cast(f["l_partkey"], pa.int64()), 2)
+        dst = pc.add(pc.multiply(pc.cast(f["l_suppkey"], pa.int64()), 2), 1)
+        return pa.table({"src": src, "dst": dst})
+
+    # the toy graph (≤4k nodes) takes the broadcast path: each
+    # iteration is one shuffle-free streaming pass (~0.5 s here); the
+    # join path engages automatically above 2M nodes
+    return pagerank(li.map_batches(edges, batch_format="pyarrow"),
+                    iterations=10, num_buckets=8)
+
+
 def _sole_supplier_orders(sf_dir: str):
     """TPC-H-Q21-flavoured anti-correlation: per supplier, how many
     orders they supplied ALONE (no other supplier on the order). The
@@ -2343,6 +2373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_bigram_counts": _token_bigram_counts,
         "sole_supplier_orders": _sole_supplier_orders,
         "consistent_sample": _consistent_sample,
+        "graph_pagerank": _graph_pagerank,
         "events_latest_state": _events_latest_state,
         "doc_rank_by_length": _doc_rank_by_length,
         "corpus_rollup": _corpus_rollup,

@@ -129,3 +129,176 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
         return pa.table({"node": t["node"], "component": t["lbl"]})
 
     return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def pagerank(edges, src: str = "src", dst: str = "dst",
+             iterations: int = 10, damping_pct: int = 85,
+             unit: int = 1_000_000, num_buckets: int = 16,
+             broadcast_threshold: int = 2_000_000):
+    """Fixed-point integer PageRank over the undirected graph (each
+    edge doubled). Returns ``(node:int64, rank_micro:int64)``.
+
+    All arithmetic is exact int64: each node starts at ``unit``
+    micro-units; every iteration each node sends
+    ``floor(rank * damping_pct / (100 * degree))`` along each edge
+    (floored PER EDGE, so the global sum is order-independent —
+    associativity is what makes the distributed result bit-equal to a
+    sequential replay), and receives a teleport base of
+    ``unit * (100 - damping_pct) / 100``. Unit drift from flooring is
+    part of the defined algorithm, not error — the point is a
+    DETERMINISTIC iterative rank both a test oracle and a 256-node
+    cluster reproduce bit-for-bit.
+
+    Scale shape — size-adaptive like the repo's other small-side
+    dispatches (star-join LUT, decontamination shingle set):
+
+    - ``n_nodes <= broadcast_threshold``: the rank/degree vectors are
+      broadcast once per iteration via ``ray.put`` and every iteration
+      is ONE streaming ``map_batches`` pass over the adjacency — no
+      shuffle at all; per-batch partial inflows (touched nodes only)
+      stream back and merge into a dense int64 vector on the driver
+      (same bounded-partial contract as functions/clustering.py's
+      kmeans and the HLL sketch merge: O(n_nodes) driver memory,
+      O(n_blocks × touched) rows).
+    - above the threshold: the degree-annotated adjacency is built once
+      and materialized (consumed ``iterations`` times); per iteration
+      one bucketed hash join (ranks are O(n_nodes) rows, never
+      collected) + one pre-shrunk groupby-sum. Nothing but block
+      metadata reaches the driver.
+
+    Both paths floor per edge, so they are bit-identical.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def to_adj(t: pa.Table) -> pa.Table:
+        s, d = _int64(t[src]), _int64(t[dst])
+        node = pa.concat_arrays([s, d])
+        nbr = pa.concat_arrays([d, s])
+        both = pa.table({"node": node, "nbr": nbr})
+        return both.group_by(["node", "nbr"]).aggregate([]).select(
+            ["node", "nbr"])
+
+    # global edge dedup IS required here (unlike connected_components):
+    # a duplicate edge would double a contribution
+    adj = (edges.map_batches(to_adj, batch_format="pyarrow")
+           .groupby(["node", "nbr"]).count()
+           .select_columns(["node", "nbr"]))
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("node").aggregate([("nbr", "count")])
+        return pa.table({"node": g["node"],
+                         "deg": pc.cast(g["nbr_count"], pa.int64())})
+
+    deg = (adj.map_batches(deg_partial, batch_format="pyarrow")
+           .groupby("node").aggregate(Sum("deg", alias_name="deg"))
+           .materialize())
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return deg.map_batches(
+            lambda t: pa.table({"node": pa.array([], pa.int64()),
+                                "rank_micro": pa.array([], pa.int64())}),
+            batch_format="pyarrow")
+
+    if n_nodes <= broadcast_threshold:
+        return _pagerank_broadcast(adj, deg, iterations, damping_pct,
+                                   unit)
+
+    adj_deg = hash_join(adj, deg, key="node",
+                        num_buckets=num_buckets).materialize()
+
+    def init_ranks(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": _int64(t["node"]),
+            "rank_micro": pa.array(
+                np.full(t.num_rows, unit, np.int64))})
+
+    ranks = deg.map_batches(init_ranks, batch_format="pyarrow") \
+               .select_columns(["node", "rank_micro"]).materialize()
+    base = unit * (100 - damping_pct) // 100
+
+    for _ in range(iterations):
+        joined = hash_join(adj_deg, ranks, key="node",
+                           num_buckets=num_buckets, how="inner")
+
+        def contrib(b) -> pa.Table:
+            r = b["rank_micro"].to_numpy().astype(np.int64)
+            d = b["deg"].to_numpy().astype(np.int64)
+            send = r * np.int64(damping_pct) // (np.int64(100) * d)
+            t = pa.table({"node": pa.array(
+                b["nbr"].to_numpy().astype(np.int64)),
+                "inflow": pa.array(send)})
+            g = t.group_by("node").aggregate([("inflow", "sum")])
+            return pa.table({"node": g["node"],
+                             "inflow": g["inflow_sum"]})
+
+        inflow = (joined.map_batches(contrib, batch_format="pandas")
+                  .groupby("node").aggregate(Sum("inflow",
+                                                 alias_name="inflow")))
+
+        def add_base(t: pa.Table) -> pa.Table:
+            r = t["inflow"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"node": _int64(t["node"]),
+                             "rank_micro": pa.array(r + np.int64(base))})
+
+        # every node has degree >= 1 in the doubled adjacency, so the
+        # inflow table covers all nodes — no outer-join pad needed
+        ranks = inflow.map_batches(add_base,
+                                   batch_format="pyarrow").materialize()
+
+    return ranks
+
+
+def _pagerank_broadcast(adj, deg, iterations: int, damping_pct: int,
+                        unit: int):
+    """Small-node-set PageRank path: rank/degree vectors broadcast via
+    ``ray.put``; each iteration is one shuffle-free streaming pass over
+    the adjacency, with per-batch partial inflows (touched nodes only,
+    exact int64 via np.add.at) merged into a dense driver vector.
+    Bit-identical to the join path (same per-edge floor)."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    deg_df = deg.to_pandas()          # <= broadcast_threshold rows
+    nodes = np.sort(deg_df["node"].to_numpy().astype(np.int64))
+    deg_arr = np.empty(len(nodes), np.int64)
+    deg_arr[np.searchsorted(nodes, deg_df["node"].to_numpy())] = \
+        deg_df["deg"].to_numpy()
+    nodes_ref = ray.put(nodes)
+    deg_ref = ray.put(deg_arr)
+    ranks = np.full(len(nodes), unit, np.int64)
+    base = np.int64(unit * (100 - damping_pct) // 100)
+
+    adj = adj.materialize()           # consumed `iterations` times
+
+    for _ in range(iterations):
+        ranks_ref = ray.put(ranks)
+
+        def contrib(t: pa.Table) -> pa.Table:
+            nd = ray.get(nodes_ref)
+            dg = ray.get(deg_ref)
+            rk = ray.get(ranks_ref)
+            src_i = np.searchsorted(nd, t["node"].to_numpy(
+                zero_copy_only=False).astype(np.int64))
+            nbr_i = np.searchsorted(nd, t["nbr"].to_numpy(
+                zero_copy_only=False).astype(np.int64))
+            send = rk[src_i] * np.int64(damping_pct) \
+                // (np.int64(100) * dg[src_i])
+            acc = np.zeros(len(nd), np.int64)
+            np.add.at(acc, nbr_i, send)
+            touched = np.nonzero(acc)[0]
+            return pa.table({"idx": pa.array(touched.astype(np.int64)),
+                             "inflow": pa.array(acc[touched])})
+
+        new_ranks = np.full(len(nodes), base, np.int64)
+        for b in adj.map_batches(contrib,
+                                 batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"):
+            np.add.at(new_ranks, b["idx"].to_numpy(zero_copy_only=False),
+                      b["inflow"].to_numpy(zero_copy_only=False))
+        ranks = new_ranks
+
+    out = pa.table({"node": pa.array(nodes),
+                    "rank_micro": pa.array(ranks)})
+    return rd.from_arrow(out)

@@ -81,3 +81,45 @@ def test_deterministic(ray_session):
              for a, b in zip(rng.integers(0, 50, 40),
                              rng.integers(0, 50, 40))]
     assert _run(pairs) == _run(pairs)
+
+
+def _py_pagerank(pairs, iterations=10, damping=85, unit=10**6):
+    """Sequential exact replay of the fixed-point algorithm."""
+    from collections import Counter
+    edges = set()
+    for a, b in pairs:
+        edges.add((a, b))
+        edges.add((b, a))
+    nodes = sorted({x for e in edges for x in e})
+    deg = Counter(a for a, _ in edges)
+    rank = {n: unit for n in nodes}
+    base = unit * (100 - damping) // 100
+    for _ in range(iterations):
+        inflow = {n: 0 for n in nodes}
+        for a, b in edges:
+            inflow[b] += rank[a] * damping // (100 * deg[a])
+        rank = {n: inflow[n] + base for n in nodes}
+    return sorted(rank.items())
+
+
+@pytest.mark.parametrize("seed,n,m,iters,thresh", [
+    (0, 30, 60, 5, 0),          # join path (threshold forced below n)
+    (1, 50, 40, 10, 2_000_000),  # broadcast path (default)
+    (0, 30, 60, 5, 2_000_000),  # both paths on the SAME graph ...
+])
+def test_pagerank_matches_sequential_replay(ray_session, seed, n, m,
+                                            iters, thresh):
+    # ... so the (0,30,60,5) pair also proves join ≡ broadcast
+    from ocr_table_extractor_to_csv_ray.functions.graph import pagerank
+    rng = np.random.default_rng(seed)
+    pairs = [(int(a), int(b))
+             for a, b in zip(rng.integers(0, n, m), rng.integers(0, n, m))]
+    # duplicate edges must NOT double contributions
+    pairs += pairs[:5]
+    src = pa.array([a for a, _ in pairs], pa.int64())
+    dst = pa.array([b for _, b in pairs], pa.int64())
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
+    got = sorted((r["node"], r["rank_micro"])
+                 for r in pagerank(ds, iterations=iters, num_buckets=4,
+                                   broadcast_threshold=thresh).take_all())
+    assert got == _py_pagerank(pairs, iterations=iters)

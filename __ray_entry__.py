@@ -1783,6 +1783,87 @@ def _graph_pagerank(sf_dir: str):
                     iterations=10, num_buckets=8)
 
 
+def _part_affinity_triangles(sf_dir: str):
+    """Triangle count of the part co-purchase affinity graph (parts
+    linked when co-purchased in ≥2 distinct orders — the ≥2 support
+    threshold is what keeps the projection sparse; support 1 at sf0.1
+    is a 1.2M-edge near-clique soup whose wedge join explodes 100×).
+    Classic distributed triangle counting: orient every edge low→high
+    id so each triangle is found exactly once at its middle vertex,
+    build wedges with ONE self hash-join, then a fused-key semi-join
+    probes wedge closures against the edge set — no per-node adjacency
+    ever materializes. The co-purchase projection itself is a bucketed
+    self-join on orderkey with per-batch pair-count partials (never
+    per-order Python). The partials feed the pair groupby as ARROW
+    blocks and fuse (a,b) into one int64 key: Ray 2.49's sort-based
+    aggregate is ~24x slower on pandas blocks than Arrow blocks
+    (measured 119.6 s vs 5.1 s on an identical 3M-row/10k-group
+    input), so a pandas partial here costs ~290 s at sf0.1 where the
+    Arrow one costs ~15 s."""
+    import ray.data as rd
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from ocr_table_extractor_to_csv_ray.functions.join import (
+        hash_join, hash_semi_join)
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_partkey"])
+    lhs = li.map_batches(
+        lambda b: b.rename(columns={"l_partkey": "a"}),
+        batch_format="pandas")
+    rhs = li.map_batches(
+        lambda b: b.rename(columns={"l_partkey": "b"}),
+        batch_format="pandas")
+    paired = hash_join(lhs, rhs, key="l_orderkey", num_buckets=16)
+
+    def pair_count_partial(b: pd.DataFrame) -> pa.Table:
+        b = b[b["a"] < b["b"]]
+        k = b["a"].to_numpy(np.int64) * (1 << 32) + b["b"].to_numpy(np.int64)
+        g = pd.Series(k).value_counts()
+        return pa.table({"k": pa.array(g.index.to_numpy(np.int64)),
+                         "n": pa.array(g.to_numpy(np.int64))})
+
+    def unfuse(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        return pa.table({"a": pa.array(k >> 32),
+                         "b": pa.array(k & ((1 << 32) - 1))})
+
+    edges = (paired.map_batches(pair_count_partial, batch_format="pandas")
+             .groupby("k").aggregate(Sum("n", alias_name="n"))
+             .filter(expr="n >= 2")
+             .map_batches(unfuse, batch_format="pyarrow")
+             .materialize())      # small (support-thresholded); consumed 3x
+    n_edges = edges.count()
+
+    wedge_l = edges.map_batches(
+        lambda b: pd.DataFrame({"j": b["b"].astype("int64"),
+                                "w_a": b["a"].astype("int64")}),
+        batch_format="pandas")
+    wedge_r = edges.map_batches(
+        lambda b: pd.DataFrame({"j": b["a"].astype("int64"),
+                                "w_c": b["b"].astype("int64")}),
+        batch_format="pandas")
+    # wedge (w_a < j < w_c): each triangle counted once, at its middle id
+    wedges = hash_join(wedge_l, wedge_r, key="j", num_buckets=16)
+
+    def fuse_wedge(b: pd.DataFrame) -> pd.DataFrame:
+        k = (b["w_a"].astype("int64") * (1 << 32)
+             + b["w_c"].astype("int64"))
+        return pd.DataFrame({"k": k})
+
+    def fuse_edge(b: pd.DataFrame) -> pd.DataFrame:
+        k = (b["a"].astype("int64") * (1 << 32) + b["b"].astype("int64"))
+        return pd.DataFrame({"k": k})
+
+    closed = hash_semi_join(
+        wedges.map_batches(fuse_wedge, batch_format="pandas"),
+        edges.map_batches(fuse_edge, batch_format="pandas"),
+        key="k", num_buckets=16)
+    n_tri = closed.count()
+    return pd.DataFrame({"n_edges": pd.array([n_edges], dtype="int64"),
+                         "n_triangles": pd.array([n_tri], dtype="int64")})
+
+
 def _sole_supplier_orders(sf_dir: str):
     """TPC-H-Q21-flavoured anti-correlation: per supplier, how many
     orders they supplied ALONE (no other supplier on the order). The
@@ -2374,6 +2455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sole_supplier_orders": _sole_supplier_orders,
         "consistent_sample": _consistent_sample,
         "graph_pagerank": _graph_pagerank,
+        "part_affinity_triangles": _part_affinity_triangles,
         "events_latest_state": _events_latest_state,
         "doc_rank_by_length": _doc_rank_by_length,
         "corpus_rollup": _corpus_rollup,
@@ -3233,6 +3315,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT w1, w2, n,
                    row_number() OVER (ORDER BY n DESC, w1, w2) AS rank
             FROM c ORDER BY n DESC, w1, w2 LIMIT 20
+        """,
+        "part_affinity_triangles": """
+            WITH pp AS (
+              SELECT l1.l_partkey AS a, l2.l_partkey AS b
+              FROM lineitem l1 JOIN lineitem l2
+                ON l1.l_orderkey = l2.l_orderkey
+               AND l1.l_partkey < l2.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= 2)
+            SELECT (SELECT count(*) FROM pp) AS n_edges,
+                   (SELECT count(*) FROM pp e1
+                      JOIN pp e2 ON e2.a = e1.b
+                      JOIN pp e3 ON e3.a = e1.a AND e3.b = e2.b)
+                       AS n_triangles
         """,
         "sole_supplier_orders": """
             WITH per_order AS (

@@ -159,7 +159,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
               # round 4: distributed COUNT DISTINCT (fused-key dedup,
               # two aggregate floors) and the two-pass no-vocabulary-
               # shuffle heavy hitters
-              "supplier_distinct_parts", "heavy_hitter_terms"):
+              "supplier_distinct_parts", "heavy_hitter_terms",
+              # round 4b: iterative graph ops (CC converges by label-sum
+              # fixpoint: join+groupby per round; pagerank takes the
+              # broadcast path — shuffle-free streaming pass per round)
+              # and the explode→join→re-aggregate unigram-LM shape
+              "graph_components", "graph_pagerank",
+              "doc_token_commonness"):
         timed(q, lambda q=q: consume(q))
 
     total = round(sum(timings.values()), 3)

@@ -1794,15 +1794,14 @@ def _part_affinity_triangles(sf_dir: str):
     probes wedge closures against the edge set — no per-node adjacency
     ever materializes. The co-purchase projection itself is a bucketed
     self-join on orderkey with per-batch pair-count partials (never
-    per-order Python). The partials feed the pair groupby as ARROW
-    blocks and fuse (a,b) into one int64 key: Ray 2.49's sort-based
-    aggregate is ~24x slower on pandas blocks than Arrow blocks
-    (measured 119.6 s vs 5.1 s on an identical 3M-row/10k-group
-    input), so a pandas partial here costs ~290 s at sf0.1 where the
-    Arrow one costs ~15 s."""
+    per-order Python). The ~3M-pair support count uses grouped_sum —
+    Ray's native sort-aggregate combines with a per-ROW Python loop
+    and costs 156-290 s here (see functions/agg.py for the measured
+    pathology); the bucketed vectorized aggregate does the same job
+    in seconds."""
     import ray.data as rd
     import pandas as pd
-    from ray.data.aggregate import Sum
+    from ocr_table_extractor_to_csv_ray.functions.agg import grouped_sum
     from ocr_table_extractor_to_csv_ray.functions.join import (
         hash_join, hash_semi_join)
 
@@ -1816,22 +1815,15 @@ def _part_affinity_triangles(sf_dir: str):
         batch_format="pandas")
     paired = hash_join(lhs, rhs, key="l_orderkey", num_buckets=16)
 
-    def pair_count_partial(b: pd.DataFrame) -> pa.Table:
+    def oriented_pairs(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["a"] < b["b"]]
-        k = b["a"].to_numpy(np.int64) * (1 << 32) + b["b"].to_numpy(np.int64)
-        g = pd.Series(k).value_counts()
-        return pa.table({"k": pa.array(g.index.to_numpy(np.int64)),
-                         "n": pa.array(g.to_numpy(np.int64))})
+        return pd.DataFrame({"a": b["a"].to_numpy(np.int64),
+                             "b": b["b"].to_numpy(np.int64)})
 
-    def unfuse(t: pa.Table) -> pa.Table:
-        k = t["k"].to_numpy(zero_copy_only=False)
-        return pa.table({"a": pa.array(k >> 32),
-                         "b": pa.array(k & ((1 << 32) - 1))})
-
-    edges = (paired.map_batches(pair_count_partial, batch_format="pandas")
-             .groupby("k").aggregate(Sum("n", alias_name="n"))
+    pairs = paired.map_batches(oriented_pairs, batch_format="pandas")
+    edges = (grouped_sum(pairs, ["a", "b"], {}, num_buckets=32, count="n")
              .filter(expr="n >= 2")
-             .map_batches(unfuse, batch_format="pyarrow")
+             .select_columns(["a", "b"])
              .materialize())      # small (support-thresholded); consumed 3x
     n_edges = edges.count()
 

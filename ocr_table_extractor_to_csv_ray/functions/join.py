@@ -22,6 +22,103 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+
+
+def _arrow_target_types(*schemas) -> Dict[str, "pa.DataType"]:
+    """col → Arrow type from Ray schemas (first schema wins per column).
+
+    Ray schemas carry Arrow types (Arrow blocks) or numpy dtypes (pandas
+    blocks); numpy ``object`` is assumed to hold strings — the only
+    object payload this repo's joins carry. Columns that can't be
+    mapped are simply absent (left to runtime inference)."""
+    out: Dict[str, pa.DataType] = {}
+    for sch in schemas:
+        if sch is None:
+            continue
+        for c, t in zip(sch.names, sch.types):
+            if c in out:
+                continue
+            if isinstance(t, pa.DataType):
+                out[c] = t
+            else:
+                try:
+                    dt = np.dtype(t)
+                    out[c] = (pa.string() if dt == np.dtype("O")
+                              else pa.from_numpy_dtype(dt))
+                except (TypeError, pa.ArrowNotImplementedError):
+                    pass
+    return out
+
+
+def _frame_to_arrow(b: pd.DataFrame, target: Dict[str, "pa.DataType"]):
+    """pandas frame → Arrow table with schema-stable column types.
+
+    WHY Arrow and not pandas output blocks: Ray 2.49's sort-based
+    ``groupby().aggregate()`` combine is ~24× slower on pandas blocks
+    than Arrow blocks (measured 119.6 s vs 5.1 s on an identical
+    3M-row input), and map operators BYPASS the UDF for all-empty task
+    inputs, re-emitting an empty block of the INPUT's format — so one
+    empty pandas block from an empty join bucket poisons every
+    downstream aggregate (measured 9.9 s → 118.9 s from a single empty
+    block). Producing Arrow blocks here, including for the NA-padded
+    union columns (typed nulls, so both tagged sides carry one schema),
+    keeps the whole downstream plan on the fast path.
+
+    Falls back to returning the pandas frame unchanged when a column
+    can't be represented (exotic object payloads) — correct but slow,
+    and only for batches that actually carry such a column."""
+    _ERRS = (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError,
+             ValueError, TypeError)
+    try:
+        cols = {}
+        for c in b.columns:
+            s = b[c]
+            at = target.get(c)
+            if at is not None and s.dtype == object and (
+                    len(s) == 0 or s.isna().all()):
+                # NA-padded union column: typed nulls, not type null
+                cols[c] = pa.nulls(len(s), at)
+                continue
+            if at is not None:
+                try:
+                    cols[c] = pa.Array.from_pandas(s, type=at)
+                    continue
+                except _ERRS:
+                    pass                # fall through to inference
+            cols[c] = pa.Array.from_pandas(s)
+        return pa.table(cols)
+    except _ERRS:
+        return b
+
+
+def _np_restore_dtypes(sch) -> Dict[str, np.dtype]:
+    """col → numpy dtype for re-casting a to_pandas'd Arrow block back to
+    its input dtypes (Arrow int64-with-nulls converts to float64; the
+    nulls live only in the OTHER side's padded rows, so the cast back is
+    exact)."""
+    def _np_dtype(t):
+        try:
+            return np.dtype(t)
+        except TypeError:
+            try:
+                return np.dtype(t.to_pandas_dtype())
+            except (TypeError, NotImplementedError):
+                return None
+
+    return {c: d for c, d in
+            ((c, _np_dtype(t)) for c, t in zip(sch.names, sch.types))
+            if d is not None and d != np.dtype("O")}
+
+
+def _restore(df: pd.DataFrame, dtypes: Dict[str, np.dtype]) -> pd.DataFrame:
+    for c, d in dtypes.items():
+        if c in df.columns and df[c].dtype != d:
+            try:
+                df = df.assign(**{c: df[c].astype(d)})
+            except (ValueError, TypeError):
+                pass                    # genuine NAs in this column: keep
+    return df
 
 
 def broadcast_join(ds, small_df: pd.DataFrame, key: str,
@@ -30,14 +127,28 @@ def broadcast_join(ds, small_df: pd.DataFrame, key: str,
 
     ``small_df`` is put in the object store once; every batch does a
     vectorized pandas merge against it. ``how`` ∈ {inner, left}.
+    Output blocks are Arrow (see :func:`_frame_to_arrow` for why).
     """
     import ray
 
     ref = ray.put(small_df)
+    # schema-stable output types: left schema + the small side's dtypes
+    # (suffixed overlap columns inherit the small side's type)
+    target = _arrow_target_types(ds.schema())
+    left_names = set(target)
+    for c, d in small_df.dtypes.items():
+        name = c if (c == key or c not in left_names) else c + suffix
+        if name not in target:
+            try:
+                target[name] = (pa.string() if d == np.dtype("O")
+                                else pa.from_numpy_dtype(d))
+            except (TypeError, pa.ArrowNotImplementedError):
+                pass
 
-    def _join(batch: pd.DataFrame) -> pd.DataFrame:
+    def _join(batch: pd.DataFrame):
         right = ray.get(ref)
-        return batch.merge(right, on=key, how=how, suffixes=("", suffix))
+        out = batch.merge(right, on=key, how=how, suffixes=("", suffix))
+        return _frame_to_arrow(out, target)
 
     return ds.map_batches(_join, batch_format="pandas")
 
@@ -111,13 +222,15 @@ def sessionize(ds, key: str = "user_id", ts: str = "ts",
         import pyarrow.compute as pc
         from ray.data.aggregate import Max, Min, Sum
 
-        def probe(b: pd.DataFrame) -> pd.DataFrame:
+        def probe(b: pd.DataFrame):
             t = _t_us(b[ts].to_numpy())
             f = pd.DataFrame({key: b[key].to_numpy(), "_t": t})
             g = f.groupby(key, as_index=False).agg(
                 n=("_t", "size"), tmin=("_t", "min"), tmax=("_t", "max"))
             g["n"] = g["n"].astype("int64")
-            return g
+            # Arrow blocks into the stats aggregate (24× pandas-block
+            # combine penalty; see _frame_to_arrow)
+            return _frame_to_arrow(g, {})
 
         stats = (ds.map_batches(probe, batch_format="pandas")
                  .groupby(key)
@@ -267,6 +380,17 @@ def hash_join(left, right, key: str, num_buckets: int = 32,
     hot = frozenset(hot_keys) if hot_keys else None
     S = max(1, salt_factor) if hot else 1
 
+    # one Arrow schema for BOTH tagged sides (typed nulls for the pad),
+    # so the union → sort → aggregate chain downstream stays on Arrow
+    # blocks end-to-end; see _frame_to_arrow for the measured 24× cost
+    # of letting pandas blocks (or empty-bucket pandas passthroughs)
+    # reach a groupby().aggregate()
+    target = _arrow_target_types(lsch, rsch)
+    target["__bucket"] = pa.int64()
+    target["__side"] = pa.string()
+    l_restore = _np_restore_dtypes(lsch)
+    r_restore = _np_restore_dtypes(rsch)
+
     def _pad(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
         for c in all_cols:              # union needs one schema: pad with NA
@@ -278,7 +402,7 @@ def hash_join(left, right, key: str, num_buckets: int = 32,
         h = pd.util.hash_pandas_object(col, index=False).to_numpy()
         return (h % np.uint64(num_buckets)).astype(np.int64)
 
-    def tag_left(b: pd.DataFrame) -> pd.DataFrame:
+    def tag_left(b: pd.DataFrame):
         b = _pad(b)
         bucket = _buckets(b[key]) * S
         if hot:
@@ -288,9 +412,9 @@ def hash_join(left, right, key: str, num_buckets: int = 32,
             bucket = bucket + salt
         b["__bucket"] = bucket
         b["__side"] = "l"
-        return b
+        return _frame_to_arrow(b, target)
 
-    def tag_right(b: pd.DataFrame) -> pd.DataFrame:
+    def tag_right(b: pd.DataFrame):
         b = _pad(b)
         b["__bucket"] = _buckets(b[key]) * S
         b["__side"] = "r"
@@ -301,16 +425,21 @@ def hash_join(left, right, key: str, num_buckets: int = 32,
             reps = [hot_rows.assign(__bucket=hot_rows["__bucket"] + s)
                     for s in range(S)]
             b = pd.concat([cold, *reps], ignore_index=True)
-        return b
+        return _frame_to_arrow(b, target)
 
     lt = left.map_batches(tag_left, batch_format="pandas")
     rt = right.map_batches(tag_right, batch_format="pandas")
     both = lt.union(rt)
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == "l"][left_cols]
-        r = g[g["__side"] == "r"][right_cols]
-        return l.merge(r, on=key, how=how, suffixes=("", suffix))
+    def join_bucket(g: pd.DataFrame):
+        # the Arrow group block to_pandas-converts int64-with-nulls to
+        # float64 (the nulls are the OTHER side's pad rows) — restore
+        # each side's input dtypes before the merge so join semantics
+        # and output types match the inputs
+        l = _restore(g[g["__side"] == "l"][left_cols], l_restore)
+        r = _restore(g[g["__side"] == "r"][right_cols], r_restore)
+        out = l.merge(r, on=key, how=how, suffixes=("", suffix))
+        return _frame_to_arrow(out, target)
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
@@ -434,34 +563,25 @@ def hash_semi_join(left, right, key: str, num_buckets: int = 32,
             f"hash_semi_join key dtype mismatch on {key!r}: left={lt}, "
             f"right={rt} — cast both sides to one dtype before joining")
 
-    def _np_dtype(t):
-        # left-schema types arrive as numpy dtypes (pandas blocks) or
-        # arrow types (arrow blocks); normalize to a numpy dtype so the
-        # probe can undo the NA-pad object-upcast on its output
-        import numpy as _np
-        try:
-            return _np.dtype(t)
-        except TypeError:
-            try:
-                return _np.dtype(t.to_pandas_dtype())
-            except (TypeError, NotImplementedError):
-                return None
-
-    left_dtypes = {c: d for c, d in
-                   ((c, _np_dtype(t)) for c, t in zip(lsch.names, lsch.types))
-                   if d is not None and d != np.dtype("O")}
+    left_dtypes = _np_restore_dtypes(lsch)
+    # Arrow output blocks end-to-end (typed nulls for the key-only right
+    # rows' pad) — see _frame_to_arrow for the measured aggregate cost
+    # of pandas blocks reaching a downstream groupby().aggregate()
+    target = _arrow_target_types(lsch, rsch)   # left wins; right fills key
+    target["__bucket"] = pa.int64()
+    target["__side"] = pa.string()
 
     def _buckets(col: pd.Series) -> np.ndarray:
         h = pd.util.hash_pandas_object(col, index=False).to_numpy()
         return (h % np.uint64(num_buckets)).astype(np.int64)
 
-    def tag_left(b: pd.DataFrame) -> pd.DataFrame:
+    def tag_left(b: pd.DataFrame):
         b = b.copy()
         b["__bucket"] = _buckets(b[key])
         b["__side"] = "l"
-        return b[left_cols + ["__bucket", "__side"]]
+        return _frame_to_arrow(b[left_cols + ["__bucket", "__side"]], target)
 
-    def tag_right(b: pd.DataFrame) -> pd.DataFrame:
+    def tag_right(b: pd.DataFrame):
         # distinct keys only — the local shrink that keeps the shuffle
         # proportional to key cardinality, not right row count
         kb = b[[key]].drop_duplicates()
@@ -471,25 +591,24 @@ def hash_semi_join(left, right, key: str, num_buckets: int = 32,
                 out[c] = pd.NA
         out["__bucket"] = _buckets(out[key])
         out["__side"] = "r"
-        return out[left_cols + ["__bucket", "__side"]]
+        return _frame_to_arrow(out[left_cols + ["__bucket", "__side"]],
+                               target)
 
     lt_ds = left.map_batches(tag_left, batch_format="pandas")
     rt_ds = right.map_batches(tag_right, batch_format="pandas")
     both = lt_ds.union(rt_ds)
 
-    def probe_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def probe_bucket(g: pd.DataFrame):
         l = g[g["__side"] == "l"]
         rkeys = g.loc[g["__side"] == "r", key]
         hit = l[key].isin(set(rkeys)).to_numpy()
         keep = ~hit if anti else hit
         out = l.loc[keep, left_cols]
-        # the union's NA-padded right rows object-upcast the combined
-        # group block; restore the left side's input dtypes so the
-        # output schema is stable (including when empty)
-        for c, d in left_dtypes.items():
-            if out[c].dtype != d:
-                out = out.assign(**{c: out[c].astype(d)})
-        return out
+        # the union's NA-padded right rows upcast the combined group
+        # block; restore the left side's input dtypes so the output
+        # schema is stable (including when empty)
+        out = _restore(out, left_dtypes)
+        return _frame_to_arrow(out, target)
 
     return both.groupby("__bucket").map_groups(probe_bucket,
                                                batch_format="pandas")

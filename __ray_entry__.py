@@ -1654,7 +1654,7 @@ def _doc_token_commonness(sf_dir: str):
     text), the shape a perplexity-bucket filter runs at scale."""
     import ray.data as rd
     import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
+    from ocr_table_extractor_to_csv_ray.functions.agg import grouped_sum
     from ocr_table_extractor_to_csv_ray.functions.join import hash_join
 
     docs = _docs(sf_dir).select_columns(["doc_id", "text"])
@@ -1679,8 +1679,12 @@ def _doc_token_commonness(sf_dir: str):
                          "n": pa.array(cnt.astype(np.int64))})
 
     toks = docs.map_batches(explode, batch_format="pyarrow")
-    freq = (toks.map_batches(freq_partial, batch_format="pyarrow")
-            .groupby("token").aggregate(Sum("n", alias_name="n")))
+    # grouped_agg, not the native aggregate: the vocabulary is the key
+    # space (unbounded at 100 TB) and the native sort-aggregate combines
+    # per-row in Python (functions/agg.py)
+    freq = grouped_sum(toks.map_batches(freq_partial,
+                                        batch_format="pyarrow"),
+                       "token", ["n"], num_buckets=16)
 
     joined = hash_join(toks, freq, key="token", num_buckets=16,
                        how="inner")
@@ -1693,10 +1697,9 @@ def _doc_token_commonness(sf_dir: str):
             "commonness": pa.array(g["commonness"].astype("int64")),
             "n_tokens": pa.array(g["n_tokens"].astype("int64"))})
 
-    return (joined.map_batches(per_doc_partial, batch_format="pandas")
-            .groupby("doc_id")
-            .aggregate(Sum("commonness", alias_name="commonness"),
-                       Sum("n_tokens", alias_name="n_tokens")))
+    return grouped_sum(
+        joined.map_batches(per_doc_partial, batch_format="pandas"),
+        "doc_id", ["commonness", "n_tokens"], num_buckets=16)
 
 
 def _token_bigram_counts(sf_dir: str):

@@ -957,16 +957,6 @@ def _explode_lines_batch(t: pa.Table, id_column: str, column: str,
     })
 
 
-def _flag_line_group(g: pd.DataFrame, id_column: str) -> pd.DataFrame:
-    """One lhash group: keep only the globally first occurrence (by
-    ``(doc_id, idx)``) of each EXACT line value. Comparing the real line
-    inside the group (``duplicated``) makes a 64-bit hash collision a
-    non-event — colliding distinct lines each keep their own first."""
-    g = g.sort_values([id_column, "idx"], kind="mergesort")
-    g["keep"] = ~g.duplicated("line", keep="first")
-    return g[[id_column, "idx", "line", "keep"]]
-
-
 def duplicate_line_removal(ds, id_column: str = "doc_id",
                            column: str = "text", min_chars: int = 10,
                            hot_cap: Optional[int] = None):
@@ -1068,11 +1058,30 @@ def duplicate_line_removal(ds, id_column: str = "doc_id",
 
     cold_inst = (long_inst if hot_ref is None else
                  long_inst.map_batches(_route(False), batch_format="pyarrow"))
+
+    # Bucketed vectorized flag, NOT groupby(lhash).map_groups: Ray's
+    # map_groups calls the UDF once per GROUP (one per distinct line),
+    # i.e. O(distinct_lines) Python frames; bucketing by lhash hash
+    # keeps the single all-to-all but flags a whole bucket in one
+    # sorted pandas pass — per-group semantics are identical because
+    # rows are ordered (lhash, doc, idx) and de-duplicated on
+    # (lhash, line), which is row-equal to the per-lhash rule.
+    FLAG_BUCKETS = 64
+
+    def _tag_flag_bucket(t: pa.Table) -> pa.Table:
+        h = t["lhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "__b", pa.array((h % FLAG_BUCKETS).astype(np.int64)))
+
+    def _flag_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lhash", id_column, "idx"], kind="mergesort")
+        g = g.assign(keep=~g.duplicated(["lhash", "line"], keep="first"))
+        return g[[id_column, "idx", "line", "keep"]]
+
     long_flagged = (cold_inst
-                    .groupby("lhash")
-                    .map_groups(functools.partial(_flag_line_group,
-                                                  id_column=id_column),
-                                batch_format="pandas"))
+                    .map_batches(_tag_flag_bucket, batch_format="pyarrow")
+                    .groupby("__b")
+                    .map_groups(_flag_bucket, batch_format="pandas"))
     if hot_ref is not None:
         hot_flagged = (long_inst.map_batches(_route(True),
                                              batch_format="pyarrow")
@@ -1084,16 +1093,32 @@ def duplicate_line_removal(ds, id_column: str = "doc_id",
     short_kept = inst.map_batches(_split(False), batch_format="pyarrow") \
                      .map_batches(lambda df: df, batch_format="pandas")
 
-    def _rebuild(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("idx", kind="mergesort")
-        kept = g.loc[g["keep"], "line"]
-        return pd.DataFrame({
-            id_column: [g[id_column].iloc[0]],
-            "text_clean": ["\n".join(kept)],
-            "n_lines": pd.array([len(g)], dtype="int64"),
-            "n_dropped": pd.array([int((~g["keep"]).sum())], dtype="int64"),
-        })
+    # Same bucket trick for reassembly (one UDF frame per doc would be
+    # O(n_docs) Python): group = doc-id hash bucket, docs rebuilt with
+    # one sorted pass + two C groupbys per bucket.
+    REBUILD_BUCKETS = 64
+
+    def _tag_doc_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(b[id_column], index=False).to_numpy()
+        b = b.copy()
+        b["__b"] = (h % np.uint64(REBUILD_BUCKETS)).astype(np.int64)
+        return b
+
+    def _rebuild_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_column, "idx"], kind="mergesort")
+        stats = g.groupby(id_column, as_index=False, sort=True).agg(
+            n_lines=("keep", "size"), n_kept=("keep", "sum"))
+        kept = g[g["keep"]]
+        txt = kept.groupby(id_column, sort=True)["line"].agg("\n".join)
+        out = stats.merge(txt.rename("text_clean"), on=id_column,
+                          how="left")
+        out["text_clean"] = out["text_clean"].fillna("")
+        out["n_lines"] = out["n_lines"].astype("int64")
+        out["n_dropped"] = (out["n_lines"]
+                            - out["n_kept"].astype("int64"))
+        return out[[id_column, "text_clean", "n_lines", "n_dropped"]]
 
     return (long_flagged.union(short_kept)
-            .groupby(id_column)
-            .map_groups(_rebuild, batch_format="pandas"))
+            .map_batches(_tag_doc_bucket, batch_format="pandas")
+            .groupby("__b")
+            .map_groups(_rebuild_bucket, batch_format="pandas"))

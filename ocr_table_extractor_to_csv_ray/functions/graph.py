@@ -47,8 +47,20 @@ def _int64(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     return arr
 
 
+def _label_sum(labels) -> int:
+    """Exact int64 label sum via per-block partials (never the native
+    global aggregate, whose ``repartition(1)`` + per-row combine costs
+    seconds per call — see functions/agg.py)."""
+    parts = labels.map_batches(
+        lambda t: pa.table({"s": pa.array(
+            [pc.sum(t["lbl"]).as_py() or 0], pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    return int(parts["s"].sum()) if len(parts) else 0
+
+
 def connected_components(edges, src: str = "src", dst: str = "dst",
-                         max_iters: int = 64, num_buckets: int = 16):
+                         max_iters: int = 64, num_buckets: int = 16,
+                         broadcast_threshold: int = 2_000_000):
     """Connected components of the undirected graph given by an edge
     Dataset. Returns a Dataset ``(node:int64, component:int64)`` where
     ``component`` is the minimum node id in the node's component.
@@ -59,8 +71,26 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
     edges are harmless (min is idempotent), so no global edge dedup is
     performed — per-batch dedup inside the adjacency kernel is a pure
     shuffle-size optimization.
+
+    Size-adaptive like :func:`pagerank` (same rationale, measured on
+    the same box): at ``n_nodes <= broadcast_threshold`` the label
+    vector lives on the driver, broadcast via ``ray.put`` each round,
+    and every round is ONE shuffle-free streaming pass over the
+    adjacency with per-batch touched-node min partials
+    (``np.minimum.at``) merged on the driver — the bench's sparse
+    bipartite graph dropped from 1052 s to seconds. Above the
+    threshold: per round one bucketed hash join + one
+    :func:`~ocr_table_extractor_to_csv_ray.functions.agg.grouped_agg`
+    min (vectorized — Ray's native sort-aggregate combines per-row in
+    Python and costs an order of magnitude more per round). Both paths
+    apply the identical min-update rule, so the per-round label tables
+    and the fixpoint are bit-equal.
     """
-    from ray.data.aggregate import Min, Sum
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from .agg import grouped_agg
 
     def to_adj(t: pa.Table) -> pa.Table:
         # doubled adjacency, deduped within the batch only
@@ -85,16 +115,60 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
             [("lbl", "min")])
         return pa.table({"node": g["node"], "lbl": g["lbl_min"]})
 
-    def min_partial(t: pa.Table) -> pa.Table:
-        g = t.group_by("node").aggregate([("lbl", "min")])
-        return pa.table({"node": g["node"], "lbl": g["lbl_min"]})
-
-    labels = (adj.map_batches(seed, batch_format="pyarrow")
-              .groupby("node").aggregate(Min("lbl", alias_name="lbl"))
-              .materialize())
-    if labels.count() == 0:
+    labels = grouped_agg(adj.map_batches(seed, batch_format="pyarrow"),
+                         "node", {"lbl": ("lbl", "min")},
+                         num_buckets=num_buckets).materialize()
+    n_nodes = labels.count()
+    if n_nodes == 0:
         return labels
-    prev_sum = labels.aggregate(Sum("lbl", alias_name="s"))["s"]
+
+    if n_nodes <= broadcast_threshold:
+        adj = adj.materialize()       # consumed once per round
+        lab_df = labels.to_pandas()   # <= broadcast_threshold rows
+        nodes = np.sort(lab_df["node"].to_numpy().astype(np.int64))
+        lbl = np.empty(len(nodes), np.int64)
+        lbl[np.searchsorted(nodes, lab_df["node"].to_numpy(
+            ).astype(np.int64))] = lab_df["lbl"].to_numpy().astype(np.int64)
+        nodes_ref = ray.put(nodes)
+        prev_sum = int(lbl.sum())
+        for _ in range(max_iters):
+            lbl_ref = ray.put(lbl)
+
+            def flood_bcast(t: pa.Table) -> pa.Table:
+                nd = ray.get(nodes_ref)
+                lb = ray.get(lbl_ref)
+                src_i = np.searchsorted(nd, t["node"].to_numpy(
+                    zero_copy_only=False).astype(np.int64))
+                nbr_i = np.searchsorted(nd, t["nbr"].to_numpy(
+                    zero_copy_only=False).astype(np.int64))
+                acc = np.full(len(nd), np.iinfo(np.int64).max, np.int64)
+                np.minimum.at(acc, nbr_i, lb[src_i])
+                touched = np.nonzero(
+                    acc != np.iinfo(np.int64).max)[0]
+                return pa.table({
+                    "idx": pa.array(touched.astype(np.int64)),
+                    "m": pa.array(acc[touched])})
+
+            new = lbl.copy()
+            for b in adj.map_batches(
+                    flood_bcast, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"):
+                np.minimum.at(new, b["idx"].to_numpy(zero_copy_only=False),
+                              b["m"].to_numpy(zero_copy_only=False))
+            lbl = new
+            cur_sum = int(lbl.sum())
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} "
+                "iterations — graph diameter exceeds the bound; raise "
+                "max_iters or switch to the pointer-jumping variant")
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes), "component": pa.array(lbl)}))
+
+    prev_sum = _label_sum(labels)
 
     for _ in range(max_iters):
         joined = hash_join(adj, labels, key="node",
@@ -102,7 +176,8 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
 
         def flood(b) -> pa.Table:
             # label flows across the edge to the neighbor; keep the
-            # node's own label too so min never regresses
+            # node's own label too so min never regresses (grouped_agg's
+            # own partial does the per-batch min shrink)
             node = pa.concat_arrays(
                 [pa.array(b["nbr"].to_numpy(), type=pa.int64()),
                  pa.array(b["node"].to_numpy(), type=pa.int64())])
@@ -110,12 +185,13 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
             lbl = pa.concat_arrays(
                 [pa.array(lbl_np, type=pa.int64()),
                  pa.array(lbl_np, type=pa.int64())])
-            return min_partial(pa.table({"node": node, "lbl": lbl}))
+            return pa.table({"node": node, "lbl": lbl})
 
-        labels = (joined.map_batches(flood, batch_format="pandas")
-                  .groupby("node").aggregate(Min("lbl", alias_name="lbl"))
-                  .materialize())
-        cur_sum = labels.aggregate(Sum("lbl", alias_name="s"))["s"]
+        labels = grouped_agg(
+            joined.map_batches(flood, batch_format="pandas"),
+            "node", {"lbl": ("lbl", "min")},
+            num_buckets=num_buckets).materialize()
+        cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -169,7 +245,8 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
     Both paths floor per edge, so they are bit-identical.
     """
     import numpy as np
-    from ray.data.aggregate import Sum
+
+    from .agg import grouped_agg
 
     def to_adj(t: pa.Table) -> pa.Table:
         s, d = _int64(t[src]), _int64(t[dst])
@@ -180,19 +257,22 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
             ["node", "nbr"])
 
     # global edge dedup IS required here (unlike connected_components):
-    # a duplicate edge would double a contribution
-    adj = (edges.map_batches(to_adj, batch_format="pyarrow")
-           .groupby(["node", "nbr"]).count()
-           .select_columns(["node", "nbr"]))
+    # a duplicate edge would double a contribution. grouped_agg, not
+    # the native aggregate: edge cardinality is the largest key space
+    # in the pipeline (see functions/agg.py for the per-row-combine
+    # pathology this avoids)
+    adj = grouped_agg(edges.map_batches(to_adj, batch_format="pyarrow"),
+                      ["node", "nbr"], {}, num_buckets=num_buckets,
+                      count="_c").select_columns(["node", "nbr"])
 
     def deg_partial(t: pa.Table) -> pa.Table:
         g = t.group_by("node").aggregate([("nbr", "count")])
         return pa.table({"node": g["node"],
                          "deg": pc.cast(g["nbr_count"], pa.int64())})
 
-    deg = (adj.map_batches(deg_partial, batch_format="pyarrow")
-           .groupby("node").aggregate(Sum("deg", alias_name="deg"))
-           .materialize())
+    deg = grouped_agg(adj.map_batches(deg_partial, batch_format="pyarrow"),
+                      "node", {"deg": ("deg", "sum")},
+                      num_buckets=num_buckets).materialize()
     n_nodes = deg.count()
     if n_nodes == 0:
         return deg.map_batches(
@@ -232,9 +312,10 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
             return pa.table({"node": g["node"],
                              "inflow": g["inflow_sum"]})
 
-        inflow = (joined.map_batches(contrib, batch_format="pandas")
-                  .groupby("node").aggregate(Sum("inflow",
-                                                 alias_name="inflow")))
+        inflow = grouped_agg(
+            joined.map_batches(contrib, batch_format="pandas"),
+            "node", {"inflow": ("inflow", "sum")},
+            num_buckets=num_buckets)
 
         def add_base(t: pa.Table) -> pa.Table:
             r = t["inflow"].to_numpy(zero_copy_only=False).astype(np.int64)

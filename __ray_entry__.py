@@ -1015,9 +1015,12 @@ def _events_hourly(sf_dir: str):
             "n": pc.cast(g["user_id_count"], pa.int64()),
         })
 
-    return (ev.map_batches(partial, batch_format="pyarrow")
-              .groupby(["user_id", "hour_id"])
-              .aggregate(Sum("n", alias_name="n_events")))
+    from ocr_table_extractor_to_csv_ray.functions.agg import grouped_sum
+    # (user, hour) key space scales with corpus span — grouped_sum
+    # (functions/agg.py), not the native per-row combine
+    return grouped_sum(ev.map_batches(partial, batch_format="pyarrow"),
+                       ["user_id", "hour_id"], {"n": "n_events"},
+                       num_buckets=16)
 
 
 def _join_doc_labels(sf_dir: str):
@@ -1302,9 +1305,10 @@ def _top_supplier_revenue(sf_dir: str):
         return pa.table({"s_suppkey": g["s_suppkey"],
                          "cents": pc.cast(g["cents_sum"], pa.int64())})
 
-    rev = (li.map_batches(partial, batch_format="pyarrow")
-           .groupby("s_suppkey")
-           .aggregate(Sum("cents", alias_name="total_revenue_cents"))
+    from ocr_table_extractor_to_csv_ray.functions.agg import grouped_sum
+    rev = (grouped_sum(li.map_batches(partial, batch_format="pyarrow"),
+                       "s_suppkey", {"cents": "total_revenue_cents"},
+                       num_buckets=16)
            .materialize())
     mx = rev.aggregate(Max("total_revenue_cents"))["max(total_revenue_cents)"]
     winners = rev.map_batches(
@@ -1369,8 +1373,12 @@ def _supplier_distinct_parts(sf_dir: str):
         fused = (table[pk].astype(np.int64) << 40) | sk.astype(np.int64)
         return pa.table({"fused": pa.array(np.unique(fused))})
 
-    distinct = (li.map_batches(fuse, batch_format="pyarrow")
-                .groupby("fused").aggregate(Count(alias_name="_n")))
+    from ocr_table_extractor_to_csv_ray.functions.agg import grouped_agg
+    # distributed DISTINCT via grouped_agg (fused-key cardinality ~
+    # |part×supp| — the native aggregate's per-row combine is the
+    # measured bottleneck at this group count; functions/agg.py)
+    distinct = grouped_agg(li.map_batches(fuse, batch_format="pyarrow"),
+                           "fused", {}, num_buckets=32, count="_n")
 
     def pair_partial(t: pa.Table) -> pa.Table:
         pc_codes = (t["fused"].to_numpy() >> 40).astype(np.int64)
@@ -1548,7 +1556,7 @@ def _large_order_customers(sf_dir: str):
     driver-side collect / broadcast of the qualifying keys)."""
     import ray.data as rd
     import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
+    from ocr_table_extractor_to_csv_ray.functions.agg import grouped_sum
     from ocr_table_extractor_to_csv_ray.functions.join import hash_join
 
     li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
@@ -1559,8 +1567,11 @@ def _large_order_customers(sf_dir: str):
         return pa.table({"o_orderkey": g["l_orderkey"],
                          "qty": g["l_quantity_sum"]})
 
-    big = (li.map_batches(partial, batch_format="pyarrow")
-           .groupby("o_orderkey").aggregate(Sum("qty", alias_name="qty"))
+    # grouped_sum over the ~n_orders key space (float sums of integral
+    # quantities are exact at any addition order, so the two-level sum
+    # is bit-equal to the oracle's)
+    big = (grouped_sum(li.map_batches(partial, batch_format="pyarrow"),
+                       "o_orderkey", ["qty"], num_buckets=16)
            .filter(expr="qty > 200"))
 
     def finish_qty(t: pa.Table) -> pa.Table:
@@ -1616,19 +1627,25 @@ def _cheapest_supplier_per_part(sf_dir: str):
     def argmin_partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b.sort_values(["l_partkey", "l_extendedprice", "l_suppkey"],
                           kind="mergesort")
-        return b.drop_duplicates("l_partkey", keep="first")
+        b = b.drop_duplicates("l_partkey", keep="first")
+        h = b["l_partkey"].to_numpy(np.int64).astype(np.uint64)
+        return b.assign(__b=((h * np.uint64(0x9E3779B97F4A7C15))
+                             >> np.uint64(59)).astype(np.int64))
 
-    def argmin_final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["l_extendedprice", "l_suppkey"],
-                          kind="mergesort").head(1)
+    def argmin_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # whole-bucket vectorized argmin (one frame per PART would be
+        # O(n_parts) Python; functions/agg.py documents the pathology)
+        g = g.sort_values(["l_partkey", "l_extendedprice", "l_suppkey"],
+                          kind="mergesort")
+        g = g.drop_duplicates("l_partkey", keep="first")
         return pd.DataFrame({
             "l_partkey": g["l_partkey"].astype("int64").to_numpy(),
             "l_suppkey": g["l_suppkey"].astype("int64").to_numpy(),
             "best_price": g["l_extendedprice"].to_numpy()})
 
     best = (li.map_batches(argmin_partial, batch_format="pandas")
-            .groupby("l_partkey")
-            .map_groups(argmin_final, batch_format="pandas"))
+            .groupby("__b")
+            .map_groups(argmin_bucket, batch_format="pandas"))
 
     sup = pd.read_parquet(os.path.join(sf_dir, "supplier.parquet"),
                           columns=["s_suppkey", "s_name"])
@@ -1735,8 +1752,11 @@ def _token_bigram_counts(sf_dir: str):
                          "w2": pa.array(g["w2"], pa.string()),
                          "n": pa.array(g["size"].astype("int64"))})
 
-    summed = (docs.map_batches(pair_partial, batch_format="pyarrow")
-              .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n")))
+    from ocr_table_extractor_to_csv_ray.functions.agg import grouped_sum
+    # bigram-vocabulary-wide sum via grouped_sum (functions/agg.py)
+    summed = grouped_sum(docs.map_batches(pair_partial,
+                                          batch_format="pyarrow"),
+                         ["w1", "w2"], ["n"], num_buckets=16)
 
     def local_topk(t: pa.Table) -> pa.Table:
         df = t.to_pandas().sort_values(
@@ -1863,40 +1883,42 @@ def _sole_supplier_orders(sf_dir: str):
     """TPC-H-Q21-flavoured anti-correlation: per supplier, how many
     orders they supplied ALONE (no other supplier on the order). The
     fact table is deduped to (orderkey, suppkey) pairs per batch, ONE
-    groupby(orderkey) computes the distinct-supplier count + min
-    supplier, the n_supp=1 survivors shrink to per-batch (suppkey, n)
-    partials, and the supplier name arrives by broadcast — the raw
-    lineitem never shuffles twice."""
+    bucketed groupby(orderkey) computes the distinct-supplier count
+    (vectorized per hash bucket — one frame per ORDER would be
+    O(n_orders) Python; functions/agg.py documents the pathology),
+    the n_supp=1 survivors shrink through grouped_agg, and the
+    supplier name arrives by broadcast — the raw lineitem never
+    shuffles twice."""
     import ray.data as rd
     import pandas as pd
-    from ray.data.aggregate import Sum
+    from ocr_table_extractor_to_csv_ray.functions.agg import grouped_agg
     from ocr_table_extractor_to_csv_ray.functions.join import broadcast_join
 
     li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
                          columns=["l_orderkey", "l_suppkey"])
 
     def pair_dedup(t: pa.Table) -> pa.Table:
-        return t.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+        t = t.group_by(["l_orderkey", "l_suppkey"]).aggregate(
             []).select(["l_orderkey", "l_suppkey"])
+        h = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "__b", pa.array(((h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(59)
+                             ).astype(np.int64)))
 
-    def per_order(g: pd.DataFrame) -> pd.DataFrame:
-        supp = g["l_suppkey"].unique()
-        if len(supp) != 1:
-            return pd.DataFrame({"s_suppkey": pd.array([], dtype="int64")})
-        return pd.DataFrame({"s_suppkey": [int(supp[0])]})
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # per-batch dedup is partial; finish it inside the bucket, then
+        # one C groupby finds single-supplier orders
+        g = g.drop_duplicates(["l_orderkey", "l_suppkey"])
+        c = g.groupby("l_orderkey", as_index=False).agg(
+            n=("l_suppkey", "size"), s=("l_suppkey", "first"))
+        return pd.DataFrame({"s_suppkey": c.loc[c["n"] == 1, "s"]
+                             .astype("int64").to_numpy()})
 
     sole = (li.map_batches(pair_dedup, batch_format="pyarrow")
-            .groupby("l_orderkey")
-            .map_groups(per_order, batch_format="pandas"))
+            .groupby("__b").map_groups(per_bucket, batch_format="pandas"))
 
-    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby("s_suppkey", as_index=False).size()
-        return pd.DataFrame({"s_suppkey": g["s_suppkey"].astype("int64"),
-                             "n": g["size"].astype("int64")})
-
-    counts = (sole.map_batches(count_partial, batch_format="pandas")
-              .groupby("s_suppkey")
-              .aggregate(Sum("n", alias_name="n_sole_orders")))
+    counts = grouped_agg(sole, "s_suppkey", {}, num_buckets=16,
+                         count="n_sole_orders")
 
     sup = pd.read_parquet(os.path.join(sf_dir, "supplier.parquet"),
                           columns=["s_suppkey", "s_name"])
@@ -1938,8 +1960,10 @@ def _customer_order_counts(sf_dir: str):
         return pa.table({"c_custkey": g["o_custkey"],
                          "n": pc.cast(g["o_custkey_count"], pa.int64())})
 
-    counts = (orders.map_batches(o_partial, batch_format="pyarrow")
-              .groupby("c_custkey").aggregate(Sum("n", alias_name="n")))
+    from ocr_table_extractor_to_csv_ray.functions.agg import grouped_sum
+    counts = grouped_sum(orders.map_batches(o_partial,
+                                            batch_format="pyarrow"),
+                         "c_custkey", ["n"], num_buckets=16)
 
     cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
                            columns=["c_custkey"])
@@ -2329,7 +2353,6 @@ def _user_feature_pivot(sf_dir: str):
     vocabulary (the schema contract of any pivot)."""
     import ray.data as rd
     import numpy as np
-    from ray.data.aggregate import Sum
 
     ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "event_type", "value"])
@@ -2344,14 +2367,12 @@ def _user_feature_pivot(sf_dir: str):
             cols[f"n_{t}"] = onehot.astype(np.int64)
             cols[f"cents_{t}"] = np.where(onehot, cents, 0)
         g = pd.DataFrame(cols).groupby("user_id", as_index=False).sum()
-        return g
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    aggs = []
-    for t in _PIVOT_TYPES:
-        aggs.append(Sum(f"n_{t}", alias_name=f"n_{t}"))
-        aggs.append(Sum(f"cents_{t}", alias_name=f"cents_{t}"))
-    return (ev.map_batches(partial, batch_format="pandas")
-            .groupby("user_id").aggregate(*aggs))
+    from ocr_table_extractor_to_csv_ray.functions.agg import grouped_sum
+    sum_cols = [c for t in _PIVOT_TYPES for c in (f"n_{t}", f"cents_{t}")]
+    return grouped_sum(ev.map_batches(partial, batch_format="pandas"),
+                       "user_id", sum_cols, num_buckets=16)
 
 
 # ---------------------------------------------------------------------------

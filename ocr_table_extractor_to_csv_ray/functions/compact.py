@@ -46,17 +46,25 @@ def latest_wins(ds, keys: Sequence[str], order_by: str, tiebreak: str):
     largest ``(order_by, tiebreak)``.
 
     Two-level: per-batch partial pick (local shrink, no shuffle) →
-    one hash ``groupby(keys)`` over the survivors → per-group final
-    pick. Output schema == input schema.
+    one hash-bucket ``groupby`` over the survivors → vectorized final
+    pick per bucket (``_pick_latest`` already resolves every key inside
+    a frame, so grouping Ray-side by key-hash bucket rather than by key
+    gives identical rows without one Python frame per key — see
+    functions/agg.py for the per-group cost this avoids). Output
+    schema == input schema.
     """
     keys = list(keys)
+    num_buckets = 64
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        return _pick_latest(b, keys, order_by, tiebreak)
+        b = _pick_latest(b, keys, order_by, tiebreak)
+        h = pd.util.hash_pandas_object(b[keys], index=False).to_numpy()
+        return b.assign(__b=(h % np.uint64(num_buckets)).astype(np.int64))
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        return _pick_latest(g, keys, order_by, tiebreak)
+        return _pick_latest(g.drop(columns="__b"), keys, order_by,
+                            tiebreak)
 
     return (ds.map_batches(partial, batch_format="pandas")
-              .groupby(keys)
+              .groupby("__b")
               .map_groups(final, batch_format="pandas"))

@@ -71,15 +71,17 @@ def exact_dedup(ds, id_column: str = "doc_id", column: str = "text"):
     sha1 collisions are treated as equality (2^-80 at any real scale).
     """
     import functools
-    from ray.data.aggregate import Min
+
+    from .agg import grouped_agg
 
     hashed = ds.select_columns([id_column, column]).map_batches(
         functools.partial(content_hash_batch, column=column),
         batch_format="pyarrow",
     ).select_columns([id_column, "content_hash"])
-    return hashed.groupby("content_hash").aggregate(
-        Min(id_column, alias_name=id_column)
-    )
+    # key space = distinct documents; grouped_agg, not the native
+    # per-row aggregate combine (functions/agg.py)
+    return grouped_agg(hashed, "content_hash",
+                       {id_column: (id_column, "min")}, num_buckets=32)
 
 
 # ---------------------------------------------------------------------------
@@ -436,7 +438,7 @@ def propagate_min_labels(pairs_ds, max_rounds: int = 10):
     XOR-hash checksum detects the fixed point without collecting the
     label table. Returns a Dataset ``(node, label)``.
     """
-    from ray.data.aggregate import Min
+    from .agg import grouped_agg
     from .join import hash_join
 
     def _sym(t: pa.Table) -> pa.Table:
@@ -458,7 +460,8 @@ def propagate_min_labels(pairs_ds, max_rounds: int = 10):
     # multiply tiny blocks every iteration and scheduling overhead
     # doubles per round
     n_blocks = max(8, edges.num_blocks() if hasattr(edges, "num_blocks") else 8)
-    labels = (edges.groupby("node").aggregate(Min("nbr", alias_name="label"))
+    labels = (grouped_agg(edges, "node", {"label": ("nbr", "min")},
+                          num_buckets=16)
               .map_batches(_self_min, batch_format="pandas")
               .select_columns(["node", "label"])
               .repartition(n_blocks).materialize())
@@ -483,8 +486,8 @@ def propagate_min_labels(pairs_ds, max_rounds: int = 10):
             return pd.DataFrame({"node": b["nbr"], "label": b["label"]})
 
         incoming = msgs.map_batches(_to_nbr, batch_format="pandas")
-        labels = (labels.union(incoming)
-                  .groupby("node").aggregate(Min("label", alias_name="label"))
+        labels = (grouped_agg(labels.union(incoming), "node",
+                              {"label": ("label", "min")}, num_buckets=16)
                   .select_columns(["node", "label"])
                   .repartition(n_blocks).materialize())
         cur = _checksum(labels)
@@ -1009,17 +1012,22 @@ def duplicate_line_removal(ds, id_column: str = "doc_id",
     hot_ref = None
     if hot_cap is not None:
         import ray
-        from ray.data.aggregate import Min, Sum
+
+        from .agg import grouped_agg
 
         def _count_partial(t: pa.Table) -> pa.Table:
             g = t.group_by("lhash").aggregate([("lhash", "count")])
             return pa.table({"lhash": g["lhash"],
                              "n": pc.cast(g["lhash_count"], pa.int64())})
 
-        counts = (long_inst.map_batches(_count_partial, batch_format="pyarrow")
-                  .groupby("lhash").aggregate(Sum("n", alias_name="n"))
+        # only rows ABOVE the cap cross to the driver — the full
+        # line-hash count table never does
+        counts = (grouped_agg(long_inst.map_batches(
+                      _count_partial, batch_format="pyarrow"),
+                      "lhash", {"n": ("n", "sum")}, num_buckets=32)
+                  .filter(expr=f"n > {int(hot_cap)}")
                   .to_pandas())
-        hot = set(counts.loc[counts["n"] > hot_cap, "lhash"])
+        hot = set(counts["lhash"])
         if hot:
             ENC = np.int64(1 << 21)          # idx < 2^21, doc_id < 2^42
 
@@ -1032,11 +1040,10 @@ def duplicate_line_removal(ds, id_column: str = "doc_id",
                      .group_by("lhash").aggregate([("key", "min")]))
                 return pa.table({"lhash": g["lhash"], "key": g["key_min"]})
 
-            winners = (long_inst.map_batches(_min_partial,
-                                             batch_format="pyarrow")
-                       .groupby("lhash").aggregate(Min("key",
-                                                       alias_name="win"))
-                       .to_pandas())
+            winners = grouped_agg(long_inst.map_batches(
+                _min_partial, batch_format="pyarrow"),
+                "lhash", {"win": ("key", "min")}, num_buckets=32
+            ).to_pandas()
             hot_ref = ray.put(dict(zip(winners["lhash"], winners["win"])))
 
     def _route(want_hot: bool):

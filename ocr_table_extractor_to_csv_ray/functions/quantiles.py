@@ -39,7 +39,7 @@ def grouped_discrete_quantiles(ds, group_col: str, value_col: str,
     (true for prices/counts/scores; NOT for continuous uniques, where a
     KLL/t-digest sketch is the right tool instead).
     """
-    from ray.data.aggregate import Sum
+    from .agg import grouped_sum
 
     def partial(t: pa.Table) -> pa.Table:
         v = t[value_col]
@@ -50,9 +50,11 @@ def grouped_discrete_quantiles(ds, group_col: str, value_col: str,
         return pa.table({group_col: g[group_col], "__v": g["__v"],
                          "c": pc.cast(g["__v_count"], pa.int64())})
 
-    vc = (ds.select_columns([group_col, value_col])
-          .map_batches(partial, batch_format="pyarrow")
-          .groupby([group_col, "__v"]).aggregate(Sum("c", alias_name="c")))
+    # (group, value) key space = sum of per-group distinct values —
+    # grouped_sum, not the native per-row combine (functions/agg.py)
+    vc = grouped_sum(ds.select_columns([group_col, value_col])
+                     .map_batches(partial, batch_format="pyarrow"),
+                     [group_col, "__v"], ["c"], num_buckets=16)
 
     names = [f"p{q * 100:g}_cents" if cents else f"p{q * 100:g}"
              for q in qs]
@@ -250,9 +252,10 @@ def equidepth_buckets(ds, value_col: str, id_col: str = "doc_id",
         return pa.table({"__v": g["__v"],
                          "c": pc.cast(g["__v_count"], pa.int64())})
 
-    hist = (ds.select_columns([value_col])
-            .map_batches(hist_partial, batch_format="pyarrow")
-            .groupby("__v").aggregate(Sum("c", alias_name="c"))
+    from .agg import grouped_sum
+    hist = (grouped_sum(ds.select_columns([value_col])
+                        .map_batches(hist_partial, batch_format="pyarrow"),
+                        "__v", ["c"], num_buckets=16)
             .to_pandas())                      # ≤ |distinct values| rows
     hist = hist.sort_values("__v", kind="mergesort")
     vals = hist["__v"].to_numpy(np.int64)

@@ -205,7 +205,8 @@ def top_terms(ds, k: int = 20, column: str = "text"):
     top-k. Ties break by ascending token. The CMS above is the sketch
     alternative when even the aggregated vocabulary is too wide."""
     import pandas as pd
-    from ray.data.aggregate import Sum
+
+    from .agg import grouped_sum
 
     def partial(t: pa.Table) -> pa.Table:
         text = t[column].combine_chunks() if isinstance(t[column], pa.ChunkedArray) else t[column]
@@ -218,9 +219,12 @@ def top_terms(ds, k: int = 20, column: str = "text"):
         return pa.table({"token": enc.dictionary,
                          "n": pa.array(cnt.astype(np.int64))})
 
-    summed = (ds.select_columns([column])
-              .map_batches(partial, batch_format="pyarrow")
-              .groupby("token").aggregate(Sum("n", alias_name="n")))
+    # vocabulary-wide sum via grouped_sum (functions/agg.py): the
+    # native aggregate's per-row combine is the bottleneck at
+    # vocabulary cardinality
+    summed = grouped_sum(ds.select_columns([column])
+                         .map_batches(partial, batch_format="pyarrow"),
+                         "token", ["n"], num_buckets=16)
 
     def local_topk(t: pa.Table) -> pa.Table:
         df = t.to_pandas().sort_values(["n", "token"],
@@ -306,8 +310,12 @@ def exact_vocab_by_group(ds, group_column: str = "lang",
         pt = pa.table({group_column: g.take(pa.array(parent)), "token": flat})
         return pt.group_by([group_column, "token"]).aggregate([])
 
-    distinct = (ds.map_batches(pairs, batch_format="pyarrow")
-                .groupby([group_column, "token"]).count())
+    from .agg import grouped_agg
+    # (group, token) distinct via grouped_agg — the widest key space in
+    # the module (functions/agg.py)
+    distinct = grouped_agg(ds.map_batches(pairs, batch_format="pyarrow"),
+                           [group_column, "token"], {}, num_buckets=32,
+                           count="_c")
 
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by(group_column).aggregate([("token", "count")])

@@ -280,9 +280,10 @@ def doc_freq(ds, column: str = "text", min_df: int = 1, terms=None):
             "df": pa.array(cnt[keep].astype(np.int64)),
         })
 
-    out = (ds.select_columns([column])
-           .map_batches(partial, batch_format="pyarrow")
-           .groupby("token").aggregate(Sum("df", alias_name="df")))
+    from .agg import grouped_sum
+    out = grouped_sum(ds.select_columns([column])
+                      .map_batches(partial, batch_format="pyarrow"),
+                      "token", ["df"], num_buckets=16)
     if min_df > 1:
         out = out.map_batches(
             lambda t: t.filter(pc.greater_equal(t["df"], pa.scalar(min_df))),

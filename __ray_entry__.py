@@ -2375,6 +2375,110 @@ def _user_feature_pivot(sf_dir: str):
                        "user_id", sum_cols, num_buckets=16)
 
 
+def _order_count_distribution(sf_dir: str):
+    """TPC-H-Q13-shaped distribution-of-a-distribution WITHOUT the
+    join: how many customers placed exactly k orders, INCLUDING the
+    zero-order bucket. The classic plan left-joins customer×orders and
+    aggregates twice; here orders alone feeds a bucketed per-customer
+    count (shuffle volume = distinct customers per batch), a second
+    grouped_agg shrinks that to |distinct k| rows, and the zero bucket
+    is pure arithmetic — total customers (a parquet metadata count)
+    minus customers-with-orders (the sum of the tiny histogram). The
+    customer table's ROWS never move at all."""
+    import pandas as pd
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.agg import grouped_agg
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey"])
+    per_cust = grouped_agg(orders, "o_custkey", {}, num_buckets=16,
+                           count="n_orders")
+    hist = grouped_agg(per_cust, "n_orders", {}, num_buckets=8,
+                       count="n_customers").to_pandas()
+
+    n_cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                             columns=["c_custkey"]).count()
+    n_zero = int(n_cust) - int(hist["n_customers"].sum())
+    if n_zero > 0:
+        hist = pd.concat([hist, pd.DataFrame(
+            {"n_orders": [0], "n_customers": [n_zero]})], ignore_index=True)
+    return pd.DataFrame({"n_orders": hist["n_orders"].astype("int64"),
+                         "n_customers": hist["n_customers"].astype("int64")})
+
+
+def _important_parts(sf_dir: str):
+    """TPC-H-Q11-shaped global-share HAVING: parts whose revenue
+    exceeds the MEAN part revenue. One bucketed grouped_sum produces
+    the per-part table (≤ n_parts rows — materialized ONCE because it
+    is consumed three times: total, group count and the filter); the
+    threshold travels as two broadcast int64 scalars, never a join.
+    The compare is `value * n_parts > total` so no division rounding
+    can diverge from the oracle (int64-safe while total × n_parts
+    < 9.2e18 — i.e. for any per-tier compare; at true 100 TB switch
+    the literal to Python-int filtering inside the batch)."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from ocr_table_extractor_to_csv_ray.functions.agg import grouped_sum
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0))), pa.int64())
+        return pa.table({"l_partkey": t["l_partkey"], "c": cents})
+
+    rev = grouped_sum(li.map_batches(prep, batch_format="pyarrow"),
+                      "l_partkey", {"c": "value_cents"},
+                      num_buckets=32).materialize()
+    total = int(rev.sum("value_cents"))
+    n_parts = int(rev.count())
+
+    def keep(t: pa.Table) -> pa.Table:
+        lhs = pc.multiply(t["value_cents"], pa.scalar(n_parts, pa.int64()))
+        mask = pc.greater(lhs, pa.scalar(total, pa.int64()))
+        return t.select(["l_partkey", "value_cents"]).filter(mask)
+
+    return rev.map_batches(keep, batch_format="pyarrow")
+
+
+def _user_first_seen_growth(sf_dir: str):
+    """Running COUNT DISTINCT without carrying sets: cumulative unique
+    users by day via the first-touch reduction. Each user contributes
+    only their MIN day (bucketed grouped_agg, key space = n_users); a
+    second grouped_agg shrinks to |days| rows; the driver cumsums that
+    tiny frame once. The naive per-day distinct union is O(users×days)
+    state — this is one shuffle of ≤1 row per user."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from ocr_table_extractor_to_csv_ray.functions.agg import grouped_agg
+
+    import pandas as pd
+
+    US_PER_DAY = 86_400_000_000
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()),
+                        pa.scalar(US_PER_DAY, pa.int64()))
+        return pa.table({"user_id": t["user_id"], "day": day})
+
+    first = grouped_agg(ev.map_batches(prep, batch_format="pyarrow"),
+                        "user_id", {"day": ("day", "min")}, num_buckets=16)
+    per_day = grouped_agg(first, "day", {}, num_buckets=8,
+                          count="new_users").to_pandas()
+    per_day = per_day.sort_values("day", kind="mergesort")
+    return pd.DataFrame({
+        "day": per_day["day"].astype("int64").to_numpy(),
+        "new_users": per_day["new_users"].astype("int64").to_numpy(),
+        "cum_users": per_day["new_users"].to_numpy().cumsum().astype("int64"),
+    })
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -2489,6 +2593,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": _lineitem_pricing,
         "forecast_revenue": _forecast_revenue,
         "events_type_value": _events_type_value,
+        "order_count_distribution": _order_count_distribution,
+        "important_parts": _important_parts,
+        "user_first_seen_growth": _user_first_seen_growth,
         # events
         "events_hourly": _events_hourly,
         "events_pushdown_read": _events_pushdown_read,
@@ -3509,5 +3616,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
                    count(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "order_count_distribution": """
+            WITH pc AS (
+                SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+                FROM customer c LEFT JOIN orders o
+                  ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_custkey)
+            SELECT n_orders, count(*) AS n_customers
+            FROM pc GROUP BY n_orders
+        """,
+        "important_parts": """
+            WITH r AS (
+                SELECT l_partkey,
+                       CAST(sum(CAST(floor(l_extendedprice
+                           * (1 - l_discount) * 100) AS BIGINT))
+                           AS BIGINT) AS value_cents
+                FROM lineitem GROUP BY l_partkey)
+            SELECT l_partkey, value_cents FROM r
+            WHERE value_cents * (SELECT count(*) FROM r) >
+                  (SELECT CAST(sum(value_cents) AS BIGINT) FROM r)
+        """,
+        "user_first_seen_growth": """
+            WITH f AS (
+                SELECT user_id,
+                       CAST(min(epoch_us(ts) // 86400000000) AS BIGINT)
+                           AS day
+                FROM events GROUP BY user_id),
+            d AS (SELECT day, count(*) AS new_users FROM f GROUP BY day)
+            SELECT day, new_users,
+                   CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT)
+                       AS cum_users
+            FROM d
         """,
     }

@@ -1669,14 +1669,17 @@ def _doc_token_commonness(sf_dir: str):
     token occurrences of that token's corpus count — an exact-integer
     stand-in for unigram log-likelihood (higher = more stereotypical
     text), the shape a perplexity-bucket filter runs at scale."""
-    import ray.data as rd
+    import pandas as pd
     import pyarrow.compute as pc
     from ocr_table_extractor_to_csv_ray.functions.agg import grouped_sum
-    from ocr_table_extractor_to_csv_ray.functions.join import hash_join
 
     docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    num_buckets = 16
 
-    def explode(t: pa.Table) -> pa.Table:
+    def pair_counts(t: pa.Table) -> pa.Table:
+        # explode → immediately shrink to distinct (doc, token) pairs
+        # with their in-doc occurrence count; shuffle volume is the
+        # pair count, never the token-occurrence count
         toks = pc.split_pattern_regex(
             pc.utf8_trim_whitespace(t["text"]), r"\s+")
         toks = (toks.combine_chunks()
@@ -1684,39 +1687,42 @@ def _doc_token_commonness(sf_dir: str):
         n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
         doc = pa.array(np.repeat(
             t["doc_id"].to_numpy(zero_copy_only=False), n), pa.int64())
-        return pa.table({"doc_id": doc, "token": toks.flatten()})
-
-    def freq_partial(t: pa.Table) -> pa.Table:
-        enc = t["token"].combine_chunks().dictionary_encode()
-        cnt = np.bincount(
-            np.asarray(enc.indices.to_numpy(zero_copy_only=False),
-                       np.int64),
-            minlength=len(enc.dictionary))
-        return pa.table({"token": enc.dictionary,
-                         "n": pa.array(cnt.astype(np.int64))})
-
-    toks = docs.map_batches(explode, batch_format="pyarrow")
-    # grouped_agg, not the native aggregate: the vocabulary is the key
-    # space (unbounded at 100 TB) and the native sort-aggregate combines
-    # per-row in Python (functions/agg.py)
-    freq = grouped_sum(toks.map_batches(freq_partial,
-                                        batch_format="pyarrow"),
-                       "token", ["n"], num_buckets=16)
-
-    joined = hash_join(toks, freq, key="token", num_buckets=16,
-                       how="inner")
-
-    def per_doc_partial(b) -> pa.Table:
-        g = b.groupby("doc_id", as_index=False).agg(
-            commonness=("n", "sum"), n_tokens=("n", "size"))
+        g = (pa.table({"doc_id": doc, "token": toks.flatten()})
+             .group_by(["doc_id", "token"])
+             .aggregate([("token", "count")]))
+        h = pd.util.hash_pandas_object(
+            g["token"].to_pandas(), index=False).to_numpy()
         return pa.table({
-            "doc_id": pa.array(g["doc_id"].astype("int64"), pa.int64()),
-            "commonness": pa.array(g["commonness"].astype("int64")),
-            "n_tokens": pa.array(g["n_tokens"].astype("int64"))})
+            "doc_id": g["doc_id"],
+            "token": g["token"],
+            "c": pc.cast(g["token_count"], pa.int64()),
+            # bucket is a function of TOKEN ONLY so every instance of a
+            # token lands in the same bucket and the corpus frequency
+            # is computable there without a separate counting pass
+            "__b": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+        })
 
-    return grouped_sum(
-        joined.map_batches(per_doc_partial, batch_format="pandas"),
-        "doc_id", ["commonness", "n_tokens"], num_buckets=16)
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        # corpus freq of each token = sum of its pair counts across the
+        # bucket (the bucket holds ALL of the token's instances), fused
+        # with the join the two-pass plan needed: commonness partial =
+        # c × freq, then one vectorized per-doc shrink
+        freq = g.groupby("token")["c"].transform("sum").to_numpy()
+        cm = g["c"].to_numpy() * freq
+        out = (pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                             "cm": cm, "c": g["c"].to_numpy()})
+               .groupby("doc_id", as_index=False)
+               .agg(commonness=("cm", "sum"), n_tokens=("c", "sum")))
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"].astype("int64"), pa.int64()),
+            "commonness": pa.array(out["commonness"].astype("int64")),
+            "n_tokens": pa.array(out["n_tokens"].astype("int64"))})
+
+    partials = (docs.map_batches(pair_counts, batch_format="pyarrow")
+                .groupby("__b")
+                .map_groups(per_bucket, batch_format="pandas"))
+    return grouped_sum(partials, "doc_id", ["commonness", "n_tokens"],
+                       num_buckets=16)
 
 
 def _token_bigram_counts(sf_dir: str):

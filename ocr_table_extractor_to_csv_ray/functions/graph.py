@@ -60,7 +60,8 @@ def _label_sum(labels) -> int:
 
 def connected_components(edges, src: str = "src", dst: str = "dst",
                          max_iters: int = 64, num_buckets: int = 16,
-                         broadcast_threshold: int = 2_000_000):
+                         broadcast_threshold: int = 2_000_000,
+                         local_threshold: int = 4_000_000):
     """Connected components of the undirected graph given by an edge
     Dataset. Returns a Dataset ``(node:int64, component:int64)`` where
     ``component`` is the minimum node id in the node's component.
@@ -129,8 +130,40 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
         lbl = np.empty(len(nodes), np.int64)
         lbl[np.searchsorted(nodes, lab_df["node"].to_numpy(
             ).astype(np.int64))] = lab_df["lbl"].to_numpy().astype(np.int64)
-        nodes_ref = ray.put(nodes)
         prev_sum = int(lbl.sum())
+
+        n_adj = adj.count()
+        if n_adj <= local_threshold:
+            # tiny-graph tier: the doubled adjacency (two int64 columns,
+            # ≤ local_threshold rows ≈ 64 MB) fits the driver; run the
+            # IDENTICAL min-update rule in-process. Each distributed
+            # round costs a task-scheduling floor (~1 s) regardless of
+            # data size — for a KB-scale filtered graph that floor IS
+            # the runtime, so the fixpoint is reached bit-equal without
+            # paying it per round.
+            adf = adj.to_pandas()
+            src_i = np.searchsorted(
+                nodes, adf["node"].to_numpy().astype(np.int64))
+            nbr_i = np.searchsorted(
+                nodes, adf["nbr"].to_numpy().astype(np.int64))
+            for _ in range(max_iters):
+                new = lbl.copy()
+                np.minimum.at(new, nbr_i, lbl[src_i])
+                lbl = new
+                cur_sum = int(lbl.sum())
+                if cur_sum == prev_sum:
+                    break
+                prev_sum = cur_sum
+            else:
+                raise RuntimeError(
+                    f"connected_components did not converge in "
+                    f"{max_iters} iterations — graph diameter exceeds "
+                    "the bound; raise max_iters or switch to the "
+                    "pointer-jumping variant")
+            return rd.from_arrow(pa.table({
+                "node": pa.array(nodes), "component": pa.array(lbl)}))
+
+        nodes_ref = ray.put(nodes)
         for _ in range(max_iters):
             lbl_ref = ray.put(lbl)
 
@@ -210,7 +243,8 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
 def pagerank(edges, src: str = "src", dst: str = "dst",
              iterations: int = 10, damping_pct: int = 85,
              unit: int = 1_000_000, num_buckets: int = 16,
-             broadcast_threshold: int = 2_000_000):
+             broadcast_threshold: int = 2_000_000,
+             local_threshold: int = 4_000_000):
     """Fixed-point integer PageRank over the undirected graph (each
     edge doubled). Returns ``(node:int64, rank_micro:int64)``.
 
@@ -282,7 +316,7 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
 
     if n_nodes <= broadcast_threshold:
         return _pagerank_broadcast(adj, deg, iterations, damping_pct,
-                                   unit)
+                                   unit, local_threshold)
 
     adj_deg = hash_join(adj, deg, key="node",
                         num_buckets=num_buckets).materialize()
@@ -331,7 +365,7 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
 
 
 def _pagerank_broadcast(adj, deg, iterations: int, damping_pct: int,
-                        unit: int):
+                        unit: int, local_threshold: int = 4_000_000):
     """Small-node-set PageRank path: rank/degree vectors broadcast via
     ``ray.put``; each iteration is one shuffle-free streaming pass over
     the adjacency, with per-batch partial inflows (touched nodes only,
@@ -346,12 +380,33 @@ def _pagerank_broadcast(adj, deg, iterations: int, damping_pct: int,
     deg_arr = np.empty(len(nodes), np.int64)
     deg_arr[np.searchsorted(nodes, deg_df["node"].to_numpy())] = \
         deg_df["deg"].to_numpy()
-    nodes_ref = ray.put(nodes)
-    deg_ref = ray.put(deg_arr)
     ranks = np.full(len(nodes), unit, np.int64)
     base = np.int64(unit * (100 - damping_pct) // 100)
 
     adj = adj.materialize()           # consumed `iterations` times
+
+    if adj.count() <= local_threshold:
+        # tiny-graph tier (same rationale as connected_components):
+        # the doubled adjacency fits the driver, so run the identical
+        # per-edge-floor update in-process — int64 addition is
+        # order-independent, hence bit-equal to the streaming path —
+        # instead of paying the per-iteration task-scheduling floor
+        adf = adj.to_pandas()
+        src_i = np.searchsorted(
+            nodes, adf["node"].to_numpy().astype(np.int64))
+        nbr_i = np.searchsorted(
+            nodes, adf["nbr"].to_numpy().astype(np.int64))
+        for _ in range(iterations):
+            send = ranks[src_i] * np.int64(damping_pct) \
+                // (np.int64(100) * deg_arr[src_i])
+            new_ranks = np.full(len(nodes), base, np.int64)
+            np.add.at(new_ranks, nbr_i, send)
+            ranks = new_ranks
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes), "rank_micro": pa.array(ranks)}))
+
+    nodes_ref = ray.put(nodes)
+    deg_ref = ray.put(deg_arr)
 
     for _ in range(iterations):
         ranks_ref = ray.put(ranks)

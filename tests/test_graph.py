@@ -50,6 +50,22 @@ def test_random_graphs_match_union_find(ray_session, seed, n, m):
     assert _run(pairs) == _uf_components(pairs)
 
 
+@pytest.mark.parametrize("tier_kw", [
+    {},                                        # local (driver) tier
+    {"local_threshold": 0},                    # streaming broadcast tier
+    {"local_threshold": 0, "broadcast_threshold": 0},  # join tier
+])
+def test_all_three_tiers_bit_equal(ray_session, tier_kw):
+    # the same graph through every size-adaptive tier must produce the
+    # identical component table (the tiers differ only in WHERE the
+    # identical min-update rule runs)
+    rng = np.random.default_rng(11)
+    pairs = [(int(a), int(b))
+             for a, b in zip(rng.integers(0, 70, 90),
+                             rng.integers(0, 70, 90))]
+    assert _run(pairs, **tier_kw) == _uf_components(pairs)
+
+
 def test_long_chain_needs_propagation(ray_session):
     # path graph 0-1-...-15: diameter 15 — the seed step alone cannot
     # solve it, so this exercises true multi-round propagation
@@ -102,14 +118,17 @@ def _py_pagerank(pairs, iterations=10, damping=85, unit=10**6):
     return sorted(rank.items())
 
 
-@pytest.mark.parametrize("seed,n,m,iters,thresh", [
-    (0, 30, 60, 5, 0),          # join path (threshold forced below n)
-    (1, 50, 40, 10, 2_000_000),  # broadcast path (default)
-    (0, 30, 60, 5, 2_000_000),  # both paths on the SAME graph ...
+@pytest.mark.parametrize("seed,n,m,iters,thresh,local", [
+    (0, 30, 60, 5, 0, 0),           # join path (threshold below n)
+    (1, 50, 40, 10, 2_000_000, 0),  # streaming broadcast path
+    (0, 30, 60, 5, 2_000_000, 0),   # broadcast on the join graph ...
+    (0, 30, 60, 5, 2_000_000, 4_000_000),  # ... and the local tier,
+    (1, 50, 40, 10, 2_000_000, 4_000_000),  # proving all three ≡
 ])
 def test_pagerank_matches_sequential_replay(ray_session, seed, n, m,
-                                            iters, thresh):
-    # ... so the (0,30,60,5) pair also proves join ≡ broadcast
+                                            iters, thresh, local):
+    # the (0,30,60,5) graph runs through all three tiers, proving
+    # join ≡ streaming-broadcast ≡ driver-local bit-for-bit
     from ocr_table_extractor_to_csv_ray.functions.graph import pagerank
     rng = np.random.default_rng(seed)
     pairs = [(int(a), int(b))
@@ -121,5 +140,6 @@ def test_pagerank_matches_sequential_replay(ray_session, seed, n, m,
     ds = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
     got = sorted((r["node"], r["rank_micro"])
                  for r in pagerank(ds, iterations=iters, num_buckets=4,
-                                   broadcast_threshold=thresh).take_all())
+                                   broadcast_threshold=thresh,
+                                   local_threshold=local).take_all())
     assert got == _py_pagerank(pairs, iterations=iters)

@@ -2485,6 +2485,312 @@ def _user_first_seen_growth(sf_dir: str):
     })
 
 
+def _late_shipment_priority(sf_dir: str):
+    """TPC-H-Q4-shaped EXISTS semi-join: orders placed in 1996 that
+    have at least one heavy line (quantity > 45), counted per
+    priority. Both sides prune at the scan (date band pushed into the
+    orders read, quantity into the lineitem read); the probe side
+    moves as DISTINCT keys only through hash_semi_join — an order
+    with 40 heavy lines ships one key per block, and a left row can
+    never be duplicated the way a join-then-filter plan would."""
+    import datetime as _dt
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ocr_table_extractor_to_csv_ray.functions.join import hash_semi_join
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+        filter=(pads.field("o_orderdate") >= _dt.datetime(1996, 1, 1))
+               & (pads.field("o_orderdate") < _dt.datetime(1997, 1, 1)))
+    heavy = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey"],
+        filter=pads.field("l_quantity") > 45.0)
+    heavy = heavy.map_batches(
+        lambda t: pa.table({"o_orderkey": t["l_orderkey"]}),
+        batch_format="pyarrow")
+    hit = hash_semi_join(orders, heavy, key="o_orderkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["o_orderpriority"]).group_by("o_orderpriority")
+              .aggregate([("o_orderpriority", "count")]))
+        return pa.table({
+            "o_orderpriority": g["o_orderpriority"],
+            "n": pc.cast(g["o_orderpriority_count"], pa.int64()),
+        })
+
+    return (hit.map_batches(partial, batch_format="pyarrow")
+               .groupby("o_orderpriority")
+               .aggregate(Sum("n", alias_name="order_count")))
+
+
+def _idle_rich_customers(sf_dir: str):
+    """TPC-H-Q22-shaped: customers richer than the mean POSITIVE
+    account balance who never placed an URGENT order, rolled up per
+    nation (this generator gives every customer ≥1 order, so the
+    classic no-order-at-all predicate would be degenerate — the
+    priority filter pushes down into the orders scan instead). The
+    global mean travels as two int64 scalars (sum_cents, n_pos) and
+    the richness compare is the exact cross-multiply
+    ``cents * n_pos > sum_cents`` — no float division to diverge from
+    the oracle. The order check is the partitioned ANTI join: the big
+    orders table moves as distinct keys only. Nothing reaches the
+    driver beyond the two scalars and the final ≤|nations| rows."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ocr_table_extractor_to_csv_ray.functions.join import hash_semi_join
+
+    cust_path = os.path.join(sf_dir, "customer.parquet")
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(
+            t["c_acctbal"], pa.scalar(100.0))), pa.int64())
+        pos = cents.filter(pc.greater(cents, pa.scalar(0, pa.int64())))
+        return pa.table({
+            "s": pa.array([pc.sum(pos).as_py() or 0], pa.int64()),
+            "n": pa.array([len(pos)], pa.int64()),
+        })
+
+    agg = (rd.read_parquet(cust_path, columns=["c_acctbal"])
+           .map_batches(bal_partial, batch_format="pyarrow")
+           .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n")))
+    sum_cents, n_pos = int(agg["s"] or 0), int(agg["n"] or 0)
+
+    def rich(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(
+            t["c_acctbal"], pa.scalar(100.0))), pa.int64())
+        mask = pc.greater(pc.multiply(cents, pa.scalar(n_pos, pa.int64())),
+                          pa.scalar(sum_cents, pa.int64()))
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "c_nationkey": t["c_nationkey"],
+            "cents": cents,
+        }).filter(mask)
+
+    cust = (rd.read_parquet(cust_path,
+                            columns=["c_custkey", "c_nationkey", "c_acctbal"])
+            .map_batches(rich, batch_format="pyarrow"))
+    import pyarrow.dataset as pads
+    okeys = (rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey"],
+                             filter=pads.field("o_orderpriority")
+                                    == "1-URGENT")
+             .map_batches(lambda t: pa.table({"c_custkey": t["o_custkey"]}),
+                          batch_format="pyarrow"))
+    idle = hash_semi_join(cust, okeys, key="c_custkey", anti=True)
+
+    def nation_partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["c_nationkey", "cents"]).group_by("c_nationkey")
+              .aggregate([("cents", "sum"), ("cents", "count")]))
+        return pa.table({
+            "c_nationkey": pc.cast(g["c_nationkey"], pa.int32()),
+            "cents": pc.cast(g["cents_sum"], pa.int64()),
+            "n": pc.cast(g["cents_count"], pa.int64()),
+        })
+
+    out = (idle.map_batches(nation_partial, batch_format="pyarrow")
+               .groupby("c_nationkey")
+               .aggregate(Sum("n", alias_name="n_customers"),
+                          Sum("cents", alias_name="total_cents")))
+    def restore_dtype(t: pa.Table) -> pa.Table:
+        # the groupby upcasts its key — restore the column's input dtype
+        return pa.table({
+            "c_nationkey": pc.cast(t["c_nationkey"], pa.int32()),
+            "n_customers": t["n_customers"],
+            "total_cents": t["total_cents"],
+        })
+
+    return out.map_batches(restore_dtype, batch_format="pyarrow")
+
+
+def _nation_trade_matrix(sf_dir: str):
+    """TPC-H-Q7-shaped bilateral trade matrix: revenue per (customer
+    nation, supplier nation) pair. The supplier side decorates the
+    fact INSIDE its first map_batches via a broadcast dense
+    suppkey→nationkey LUT (zero shuffle on that axis) and the same
+    pass pre-sums to (orderkey, supp_nation) partials; the customer
+    side takes the two real bucketed hash joins — partials ⋈ orders,
+    then ⋈ customer — with explicit int64 re-casts between them (the
+    chained-join dtype-bucketing trap). Nation names decorate at the
+    very end, after the matrix has shrunk to ≤ |nations|² rows."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ocr_table_extractor_to_csv_ray.functions.agg import grouped_sum
+    from ocr_table_extractor_to_csv_ray.functions.join import hash_join
+
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    lut = np.full(int(sup["s_suppkey"].max()) + 1, -1, dtype=np.int16)
+    lut[sup["s_suppkey"].to_numpy()] = (
+        sup["s_nationkey"].to_numpy().astype(np.int16))
+    lut_ref = ray.put(lut)
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        table = ray.get(lut_ref)
+        keys = t["l_suppkey"].to_numpy()
+        if keys.size and (keys.min() < 0 or keys.max() >= table.size
+                          or table[keys].min() < 0):
+            raise ValueError("trade matrix: l_suppkey outside the "
+                             "broadcast supplier dimension")
+        cents = pc.cast(pc.floor(pc.multiply(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0))), pa.int64())
+        g = (pa.table({"o_orderkey": t["l_orderkey"],
+                       "supp_nat": pa.array(table[keys].astype(np.int64)),
+                       "cents": cents})
+             .group_by(["o_orderkey", "supp_nat"])
+             .aggregate([("cents", "sum")]))
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         "supp_nat": g["supp_nat"],
+                         "cents": pc.cast(g["cents_sum"], pa.int64())})
+
+    rev = li.map_batches(li_partial, batch_format="pyarrow")
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    j1 = hash_join(rev, orders, key="o_orderkey", num_buckets=16)
+
+    def rekey(t: pa.Table) -> pa.Table:
+        # the first join's union/pad upcasts — restore int64 before the
+        # second join re-buckets on o_custkey (dtype-sensitive siphash)
+        return pa.table({
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "supp_nat": pc.cast(t["supp_nat"], pa.int64()),
+            "cents": pc.cast(t["cents"], pa.int64()),
+        })
+
+    j1 = j1.map_batches(rekey, batch_format="pyarrow")
+    cust = (rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                            columns=["c_custkey", "c_nationkey"])
+            .map_batches(lambda t: pa.table({
+                "o_custkey": t["c_custkey"],
+                "cust_nat": pc.cast(t["c_nationkey"], pa.int64())}),
+                batch_format="pyarrow"))
+    j2 = hash_join(j1, cust, key="o_custkey", num_buckets=16)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cust_nat": pc.cast(t["cust_nat"], pa.int64()),
+            "supp_nat": pc.cast(t["supp_nat"], pa.int64()),
+            "cents": pc.cast(t["cents"], pa.int64()),
+        })
+
+    matrix = grouped_sum(j2.map_batches(pair_partial, batch_format="pyarrow"),
+                         ["cust_nat", "supp_nat"],
+                         {"cents": "revenue_cents"}, num_buckets=8)
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    def decorate(b):
+        # ≤ |nations|² rows by now — the dict is tiny and the blocks few
+        import pandas as pd
+        return pd.DataFrame({
+            "cust_nation": b["cust_nat"].map(name_of).astype(str),
+            "supp_nation": b["supp_nat"].map(name_of).astype(str),
+            "revenue_cents": b["revenue_cents"].astype("int64"),
+        })
+
+    return matrix.map_batches(decorate, batch_format="pandas")
+
+
+def _top_return_customers(sf_dir: str):
+    """TPC-H-Q10-shaped top-k-then-details: revenue of RETURNED lines
+    per customer, top 20 customers, decorated with their details. The
+    fact prunes at the scan (returnflag pushed down), pre-sums per
+    order in-batch, joins to orders for the custkey (the one real
+    shuffle pair), bucketed grouped_sum per customer; the global top-k
+    is per-block local top-k with a deterministic (revenue DESC,
+    custkey ASC) tie-break, so only ≤ blocks×k candidate rows reach
+    the driver; the 20 winner keys broadcast back as a filter over the
+    customer detail stream — the details never shuffle."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ocr_table_extractor_to_csv_ray.functions.agg import grouped_sum
+    from ocr_table_extractor_to_csv_ray.functions.join import hash_join
+
+    K = 20
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_returnflag") == "R")
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0))), pa.int64())
+        g = (pa.table({"o_orderkey": t["l_orderkey"], "cents": cents})
+             .group_by("o_orderkey").aggregate([("cents", "sum")]))
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         "cents": pc.cast(g["cents_sum"], pa.int64())})
+
+    rev = li.map_batches(li_partial, batch_format="pyarrow")
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    joined = hash_join(rev, orders, key="o_orderkey", num_buckets=16)
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "cents": pc.cast(t["cents"], pa.int64()),
+        })
+
+    per_cust = grouped_sum(joined.map_batches(cust_partial,
+                                              batch_format="pyarrow"),
+                           "c_custkey", {"cents": "revenue_cents"},
+                           num_buckets=16)
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.sort_values(["revenue_cents", "c_custkey"],
+                              ascending=[False, True], kind="mergesort")
+                 .head(K))
+
+    cand = (per_cust.map_batches(local_topk, batch_format="pandas")
+            .to_pandas())
+    winners = (cand.sort_values(["revenue_cents", "c_custkey"],
+                                ascending=[False, True], kind="mergesort")
+               .head(K).reset_index(drop=True))
+    keys = set(winners["c_custkey"].astype(int))
+
+    def pick(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["c_custkey"],
+                        value_set=pa.array(sorted(keys), pa.int64()))
+        return t.filter(mask)
+
+    details = (rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                               columns=["c_custkey", "c_name", "c_acctbal"])
+               .map_batches(pick, batch_format="pyarrow")
+               .to_pandas())
+    out = winners.merge(details, on="c_custkey")
+    return pd.DataFrame({
+        "c_custkey": out["c_custkey"].astype("int64"),
+        "c_name": out["c_name"].astype(str),
+        "c_acctbal": out["c_acctbal"].astype("float64"),
+        "revenue_cents": out["revenue_cents"].astype("int64"),
+    })
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -2602,6 +2908,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_count_distribution": _order_count_distribution,
         "important_parts": _important_parts,
         "user_first_seen_growth": _user_first_seen_growth,
+        "late_shipment_priority": _late_shipment_priority,
+        "idle_rich_customers": _idle_rich_customers,
+        "nation_trade_matrix": _nation_trade_matrix,
+        "top_return_customers": _top_return_customers,
         # events
         "events_hourly": _events_hourly,
         "events_pushdown_read": _events_pushdown_read,
@@ -3654,5 +3964,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT)
                        AS cum_users
             FROM d
+        """,
+        "late_shipment_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_quantity > 45)
+            GROUP BY o_orderpriority
+        """,
+        "idle_rich_customers": """
+            WITH cents AS (
+                SELECT c_custkey, c_nationkey,
+                       CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+                FROM customer),
+            thresh AS (
+                SELECT CAST(sum(cents) AS BIGINT) AS s,
+                       count(*) AS n
+                FROM cents WHERE cents > 0)
+            SELECT c_nationkey,
+                   count(*) AS n_customers,
+                   CAST(sum(cents) AS BIGINT) AS total_cents
+            FROM cents, thresh
+            WHERE cents * n > s
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            GROUP BY c_nationkey
+        """,
+        "nation_trade_matrix": """
+            SELECT nc.n_name AS cust_nation, ns.n_name AS supp_nation,
+                   CAST(sum(CAST(floor(l_extendedprice
+                       * (1 - l_discount) * 100) AS BIGINT))
+                       AS BIGINT) AS revenue_cents
+            FROM lineitem l
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+            JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+            GROUP BY 1, 2
+        """,
+        "top_return_customers": """
+            WITH rev AS (
+                SELECT o.o_custkey AS c_custkey,
+                       CAST(sum(CAST(floor(l_extendedprice
+                           * (1 - l_discount) * 100) AS BIGINT))
+                           AS BIGINT) AS revenue_cents
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                WHERE l.l_returnflag = 'R'
+                GROUP BY 1)
+            SELECT c.c_custkey, c.c_name, c.c_acctbal, r.revenue_cents
+            FROM rev r JOIN customer c ON c.c_custkey = r.c_custkey
+            ORDER BY r.revenue_cents DESC, c.c_custkey
+            LIMIT 20
         """,
     }

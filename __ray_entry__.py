@@ -2791,6 +2791,22 @@ def _top_return_customers(sf_dir: str):
     })
 
 
+def _bpe_learn(sf_dir: str):
+    """Tokenizer training: learn 10 BPE merges over the documents
+    corpus. One corpus-scale shuffle (word-frequency shrink), then
+    every merge round runs over the materialized VOCAB table —
+    per-round cost is vocabulary-sized, the global argmax travels as
+    ≤ n_blocks candidate rows. Oracle: the independent sequential
+    reimplementation checkpointed by tools/gen_oracle_expected.py."""
+    import ray.data as rd
+
+    from ocr_table_extractor_to_csv_ray.functions.bpe import learn_bpe
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["text"])
+    return learn_bpe(docs, n_merges=10)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -2912,6 +2928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idle_rich_customers": _idle_rich_customers,
         "nation_trade_matrix": _nation_trade_matrix,
         "top_return_customers": _top_return_customers,
+        "bpe_learn": _bpe_learn,
         # events
         "events_hourly": _events_hourly,
         "events_pushdown_read": _events_pushdown_read,
@@ -4007,6 +4024,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
             GROUP BY 1, 2
         """,
+        "bpe_learn": _expected_sql(
+            "bpe_learn", "merge_rank, lhs, rhs, pair_count"),
         "top_return_customers": """
             WITH rev AS (
                 SELECT o.o_custkey AS c_custkey,

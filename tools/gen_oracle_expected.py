@@ -197,6 +197,52 @@ _GOLD64 = np.uint64(0x9E3779B97F4A7C15)
 _STAR = 64      # buckets with >= _STAR members pair as a star to min id
 
 
+def expected_bpe(sf_dir: str, n_merges: int = 10) -> pd.DataFrame:
+    """Sequential BPE merge learning — the independent oracle for
+    functions/bpe.py::learn_bpe. Same contract: whitespace words,
+    character start symbols (no end-of-word marker), merges applied in
+    rank order left-to-right, argmax tie-break (count DESC, lhs ASC,
+    rhs ASC)."""
+    from collections import Counter
+
+    _, texts = _load_docs(sf_dir)
+    wf = Counter(w for t in texts for w in str(t).split())
+
+    def apply(symbols, merges):
+        for a, b in merges:
+            if len(symbols) < 2:
+                break
+            out, i, n = [], 0, len(symbols)
+            while i < n:
+                if i + 1 < n and symbols[i] == a and symbols[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(symbols[i])
+                    i += 1
+            symbols = out
+        return symbols
+
+    merges, rows = [], []
+    for rank in range(n_merges):
+        pc_counts = Counter()
+        for w, f in wf.items():
+            syms = apply(list(w), merges)
+            for i in range(len(syms) - 1):
+                pc_counts[(syms[i], syms[i + 1])] += f
+        if not pc_counts:
+            break
+        (lhs, rhs), n = sorted(pc_counts.items(),
+                               key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        merges.append((lhs, rhs))
+        rows.append({"merge_rank": rank, "lhs": lhs, "rhs": rhs,
+                     "pair_count": n})
+    return pd.DataFrame(rows, columns=["merge_rank", "lhs", "rhs",
+                                       "pair_count"]).astype(
+        {"merge_rank": "int64", "lhs": str, "rhs": str,
+         "pair_count": "int64"})
+
+
 def _tok64(tok: str) -> int:
     return int.from_bytes(
         hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "little")
@@ -980,6 +1026,7 @@ def main() -> None:
 
         for name, fn in (("extract_text_render", expected_text_render),
                          ("split_hash", expected_split_hash),
+                         ("bpe_learn", expected_bpe),
                          ("fingerprint_rolling", expected_rolling_fp),
                          ("knn_ivf", expected_knn_ivf),
                          ("dedup_embedding", expected_dedup_embedding),

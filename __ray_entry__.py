@@ -2807,6 +2807,54 @@ def _bpe_learn(sf_dir: str):
     return learn_bpe(docs, n_merges=10)
 
 
+def _events_validity_intervals(sf_dir: str):
+    """LEAD-shaped SCD-2 / CDC history build: each event's state is
+    valid from its timestamp until the NEXT event of the same
+    (user, event_type); the still-open last state is omitted (inner
+    LEAD). One per-user shuffle; inside the group a single lexsort by
+    (type, ts, event_id) makes the successor a vectorized shift —
+    no per-row Python, ties broken by event_id so the intervals are
+    bit-reproducible. Same one-user-fits-a-task contract as
+    sessionize (see the range-split guard there for the mega-key
+    escape hatch)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "ts",
+                                  "event_id"])
+
+    def intervals(g: pd.DataFrame) -> pd.DataFrame:
+        f = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        order = np.lexsort((eid, f, et))
+        f, eid, et = f[order], eid[order], et[order]
+        if len(f) < 2:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "event_type": pd.Series([], dtype=object),
+                "valid_from_us": pd.Series([], dtype="int64"),
+                "valid_to_us": pd.Series([], dtype="int64"),
+                "duration_s": pd.Series([], dtype="int64"),
+            })
+        has_next = et[:-1] == et[1:]
+        vf = f[:-1][has_next]
+        vt = f[1:][has_next]
+        return pd.DataFrame({
+            "user_id": np.full(len(vf), int(g["user_id"].iloc[0]),
+                               dtype=np.int64),
+            "event_type": et[:-1][has_next],
+            "valid_from_us": vf,
+            "valid_to_us": vt,
+            "duration_s": (vt - vf) // 1_000_000,
+        })
+
+    return ev.groupby("user_id").map_groups(intervals,
+                                            batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -2929,6 +2977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_trade_matrix": _nation_trade_matrix,
         "top_return_customers": _top_return_customers,
         "bpe_learn": _bpe_learn,
+        "events_validity_intervals": _events_validity_intervals,
         # events
         "events_hourly": _events_hourly,
         "events_pushdown_read": _events_pushdown_read,
@@ -4026,6 +4075,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_learn": _expected_sql(
             "bpe_learn", "merge_rank, lhs, rhs, pair_count"),
+        "events_validity_intervals": """
+            WITH w AS (
+                SELECT user_id, event_type,
+                       epoch_us(ts) AS f,
+                       LEAD(epoch_us(ts)) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY epoch_us(ts), event_id) AS t
+                FROM events)
+            SELECT user_id, event_type,
+                   CAST(f AS BIGINT) AS valid_from_us,
+                   CAST(t AS BIGINT) AS valid_to_us,
+                   CAST((t - f) // 1000000 AS BIGINT) AS duration_s
+            FROM w WHERE t IS NOT NULL
+        """,
         "top_return_customers": """
             WITH rev AS (
                 SELECT o.o_custkey AS c_custkey,

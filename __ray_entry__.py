@@ -2616,10 +2616,13 @@ def _nation_trade_matrix(sf_dir: str):
     fact INSIDE its first map_batches via a broadcast dense
     suppkey→nationkey LUT (zero shuffle on that axis) and the same
     pass pre-sums to (orderkey, supp_nation) partials; the customer
-    side takes the two real bucketed hash joins — partials ⋈ orders,
-    then ⋈ customer — with explicit int64 re-casts between them (the
-    chained-join dtype-bucketing trap). Nation names decorate at the
-    very end, after the matrix has shrunk to ≤ |nations|² rows."""
+    side is size-adaptive — one bucketed hash join to orders always,
+    then either a broadcast dense custkey→nationkey LUT (≤2M
+    customers: decorate in-stream, second shuffle saved) or the
+    second bucketed join with the explicit int64 re-cast between the
+    chained joins (the dtype-bucketing trap). Nation names decorate
+    at the very end, after the matrix has shrunk to ≤ |nations|²
+    rows."""
     import numpy as np
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -2665,33 +2668,65 @@ def _nation_trade_matrix(sf_dir: str):
                              columns=["o_orderkey", "o_custkey"])
     j1 = hash_join(rev, orders, key="o_orderkey", num_buckets=16)
 
-    def rekey(t: pa.Table) -> pa.Table:
-        # the first join's union/pad upcasts — restore int64 before the
-        # second join re-buckets on o_custkey (dtype-sensitive siphash)
-        return pa.table({
-            "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
-            "supp_nat": pc.cast(t["supp_nat"], pa.int64()),
-            "cents": pc.cast(t["cents"], pa.int64()),
-        })
+    # size-adaptive customer decoration (pagerank/graph precedent): a
+    # dense custkey→nationkey LUT is |customers|×4 bytes — broadcast
+    # it and decorate in-stream when it fits comfortably (one shuffle
+    # join saved); fall back to the bucketed join for customer
+    # dimensions too big to ship to every worker.
+    cust_path = os.path.join(sf_dir, "customer.parquet")
+    n_cust = pq.ParquetFile(cust_path).metadata.num_rows
+    if n_cust <= 2_000_000:
+        cdf = pq.read_table(cust_path,
+                            columns=["c_custkey", "c_nationkey"]).to_pandas()
+        clut = np.full(int(cdf["c_custkey"].max()) + 1, -1, dtype=np.int32)
+        clut[cdf["c_custkey"].to_numpy()] = (
+            cdf["c_nationkey"].to_numpy().astype(np.int32))
+        clut_ref = ray.put(clut)
 
-    j1 = j1.map_batches(rekey, batch_format="pyarrow")
-    cust = (rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
-                            columns=["c_custkey", "c_nationkey"])
-            .map_batches(lambda t: pa.table({
-                "o_custkey": t["c_custkey"],
-                "cust_nat": pc.cast(t["c_nationkey"], pa.int64())}),
-                batch_format="pyarrow"))
-    j2 = hash_join(j1, cust, key="o_custkey", num_buckets=16)
+        def decorate_cust(t: pa.Table) -> pa.Table:
+            table = ray.get(clut_ref)
+            keys = pc.cast(t["o_custkey"], pa.int64()).to_numpy()
+            if keys.size and (keys.min() < 0 or keys.max() >= table.size
+                              or table[keys].min() < 0):
+                raise ValueError("trade matrix: o_custkey outside the "
+                                 "broadcast customer dimension")
+            return pa.table({
+                "cust_nat": pa.array(table[keys].astype(np.int64)),
+                "supp_nat": pc.cast(t["supp_nat"], pa.int64()),
+                "cents": pc.cast(t["cents"], pa.int64()),
+            })
 
-    def pair_partial(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "cust_nat": pc.cast(t["cust_nat"], pa.int64()),
-            "supp_nat": pc.cast(t["supp_nat"], pa.int64()),
-            "cents": pc.cast(t["cents"], pa.int64()),
-        })
+        decorated = j1.map_batches(decorate_cust, batch_format="pyarrow")
+    else:
+        def rekey(t: pa.Table) -> pa.Table:
+            # the first join's union/pad upcasts — restore int64 before
+            # the second join re-buckets on o_custkey (dtype-sensitive
+            # siphash)
+            return pa.table({
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "supp_nat": pc.cast(t["supp_nat"], pa.int64()),
+                "cents": pc.cast(t["cents"], pa.int64()),
+            })
 
-    matrix = grouped_sum(j2.map_batches(pair_partial, batch_format="pyarrow"),
-                         ["cust_nat", "supp_nat"],
+        cust = (rd.read_parquet(cust_path,
+                                columns=["c_custkey", "c_nationkey"])
+                .map_batches(lambda t: pa.table({
+                    "o_custkey": t["c_custkey"],
+                    "cust_nat": pc.cast(t["c_nationkey"], pa.int64())}),
+                    batch_format="pyarrow"))
+        j2 = hash_join(j1.map_batches(rekey, batch_format="pyarrow"),
+                       cust, key="o_custkey", num_buckets=16)
+
+        def pair_partial(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "cust_nat": pc.cast(t["cust_nat"], pa.int64()),
+                "supp_nat": pc.cast(t["supp_nat"], pa.int64()),
+                "cents": pc.cast(t["cents"], pa.int64()),
+            })
+
+        decorated = j2.map_batches(pair_partial, batch_format="pyarrow")
+
+    matrix = grouped_sum(decorated, ["cust_nat", "supp_nat"],
                          {"cents": "revenue_cents"}, num_buckets=8)
 
     nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),

@@ -75,15 +75,58 @@ def word_frequencies(ds, text_col: str = "text", num_buckets: int = 32):
                        "word", {"freq": "freq"}, num_buckets=num_buckets)
 
 
+def _learn_from_word_freq(wf: Dict[str, int],
+                          n_merges: int) -> pd.DataFrame:
+    """In-process merge rounds over a collected word-frequency dict —
+    the SAME update rule and tie-break as the distributed rounds
+    (bit-equal by associativity of the pair sums)."""
+    merges: List[Tuple[str, str]] = []
+    rows: List[dict] = []
+    for rank in range(n_merges):
+        counts: Dict[Tuple[str, str], int] = {}
+        for w, f in wf.items():
+            syms = apply_merges(list(w), merges)
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                counts[k] = counts.get(k, 0) + f
+        if not counts:
+            break
+        (lhs, rhs), n = sorted(counts.items(),
+                               key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        merges.append((lhs, rhs))
+        rows.append({"merge_rank": rank, "lhs": lhs, "rhs": rhs,
+                     "pair_count": n})
+    return pd.DataFrame(rows, columns=["merge_rank", "lhs", "rhs",
+                                       "pair_count"]).astype(
+        {"merge_rank": "int64", "lhs": str, "rhs": str,
+         "pair_count": "int64"})
+
+
 def learn_bpe(ds, n_merges: int = 8, text_col: str = "text",
-              num_buckets: int = 32) -> pd.DataFrame:
+              num_buckets: int = 32,
+              local_threshold: int = 500_000) -> pd.DataFrame:
     """Learn ``n_merges`` BPE merges over ``ds[text_col]``.
 
     Returns a DataFrame (merge_rank int64, lhs str, rhs str,
     pair_count int64), one row per learned merge in rank order. Stops
     early if no adjacent pair remains.
+
+    Size-adaptive rounds (graph.py precedent): the corpus-scale
+    word-frequency shuffle always runs distributed, but each merge
+    round costs a fixed task-scheduling floor regardless of data size
+    — for a vocabulary under ``local_threshold`` distinct words the
+    rounds run in-process over the collected (word, freq) dict
+    instead, bit-equal by the associativity of the pair sums
+    (tier-equivalence tested). The distributed rounds remain the path
+    for vocabularies that don't fit one heap.
     """
     vocab = word_frequencies(ds, text_col, num_buckets).materialize()
+
+    if vocab.count() <= local_threshold:
+        pdf = vocab.to_pandas()
+        wf = dict(zip(pdf["word"].astype(str),
+                      pdf["freq"].astype("int64").map(int)))
+        return _learn_from_word_freq(wf, n_merges)
 
     merges: List[Tuple[str, str]] = []
     ranks: List[dict] = []

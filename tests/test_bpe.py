@@ -53,6 +53,17 @@ def test_apply_merges_left_to_right_overlap():
     assert apply_merges(list("aaaa"), [("a", "a"), ("aa", "aa")]) == ["aaaa"]
 
 
+def test_learn_bpe_tier_equivalence(ray_session):
+    # the driver-local rounds (small vocab) and the distributed rounds
+    # must be bit-identical on the same input
+    texts = ["low lower lowest newest", "wide wider new newer",
+             "banana bandana ban and band", "abra abracadabra cad"]
+    ds = rd.from_pandas(pd.DataFrame({"text": texts})).repartition(4)
+    local = learn_bpe(ds, n_merges=7)                      # local tier
+    dist = learn_bpe(ds, n_merges=7, local_threshold=0)    # forced distributed
+    pd.testing.assert_frame_equal(local, dist)
+
+
 def test_learn_bpe_block_layout_invariant(ray_session):
     texts = [f"token{i % 7} shared shard word{i % 3}" for i in range(40)]
     df = pd.DataFrame({"text": texts})

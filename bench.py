@@ -165,7 +165,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
               # broadcast path — shuffle-free streaming pass per round)
               # and the explode→join→re-aggregate unigram-LM shape
               "graph_components", "graph_pagerank",
-              "doc_token_commonness"):
+              "doc_token_commonness",
+              # round 4c: tokenizer training (one corpus shuffle +
+              # size-adaptive merge rounds) and the Q7 matrix (one
+              # bucketed join + broadcast customer LUT tier)
+              "bpe_learn", "nation_trade_matrix"):
         timed(q, lambda q=q: consume(q))
 
     total = round(sum(timings.values()), 3)

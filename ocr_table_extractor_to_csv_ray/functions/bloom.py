@@ -11,9 +11,16 @@ reproducible by an independent sequential implementation, which is how
 the driver oracle checks this operator end to end.
 
 Scale shape: the BUILD is one streaming ``map_batches`` emitting one
-``m/8``-byte filter per batch, OR-merged on the driver (associative —
-a cluster would tree-merge the same bytes); the PROBE is one broadcast
-(``ray.put``) + vectorized bit tests per batch. Neither side shuffles.
+``m/8``-byte filter per batch, then ONE bounded-fan-in merge round
+(``groupby(bucket).map_groups`` OR-merging each bucket with O(m/8)
+memory) so the driver receives at most ``merge_fan`` filters no matter
+how many blocks the corpus has — at 10^6 blocks the old driver-serial
+OR-loop pulled ~128 GB through one process; this shape moves the same
+bytes once, in parallel, through the cluster. The PROBE is one
+broadcast (``ray.put``) + vectorized bit tests per batch, no shuffle.
+OR is commutative/associative/idempotent, so the merged bits are
+bit-identical regardless of grouping — the sequential driver oracle
+still reproduces the filter exactly.
 """
 
 from __future__ import annotations
@@ -85,17 +92,48 @@ class BloomFilter:
         return f
 
 
-def build_bloom(ds, column: str = "text", m_bits: int = DEFAULT_M_BITS,
-                k: int = DEFAULT_K) -> BloomFilter:
-    """One filter per batch (streaming), OR-merged on the driver —
-    ``m_bits/8`` bytes per batch is all that moves."""
+DEFAULT_MERGE_FAN = 64            # max filters the driver ever sees
+
+
+def _bloom_partials(ds, column: str, m_bits: int, k: int,
+                    merge_fan: int, batch_size=None):
+    """Dataset of ≤ ``merge_fan`` pre-merged filters: one filter per
+    batch, bucketed by a content hash of its bytes (any deterministic
+    spread works — OR makes the result grouping-invariant), each bucket
+    OR-reduced inside ``map_groups`` with a single ``m_bits/8``-byte
+    accumulator (never stacking the group in memory)."""
     def per_batch(t: pa.Table) -> pa.Table:
         f = BloomFilter(m_bits, k)
         f.add([x if x is not None else "" for x in t[column].to_pylist()])
-        return pa.table({"bloom": pa.array([f.to_bytes()], pa.binary())})
+        raw = f.to_bytes()
+        bucket = int.from_bytes(hashlib.md5(raw).digest()[:4], "little")
+        return pa.table({
+            "bucket": pa.array([bucket % merge_fan], pa.int64()),
+            "bloom": pa.array([raw], pa.binary()),
+        })
 
+    def or_group(t: pa.Table) -> pa.Table:
+        acc = np.zeros(m_bits // 8, np.uint8)
+        for buf in t["bloom"]:
+            acc |= np.frombuffer(buf.as_py(), np.uint8)
+        return pa.table({"bloom": pa.array([acc.tobytes()], pa.binary())})
+
+    kw = {} if batch_size is None else {"batch_size": batch_size}
+    return (ds.map_batches(per_batch, batch_format="pyarrow", **kw)
+              .groupby("bucket")
+              .map_groups(or_group, batch_format="pyarrow"))
+
+
+def build_bloom(ds, column: str = "text", m_bits: int = DEFAULT_M_BITS,
+                k: int = DEFAULT_K,
+                merge_fan: int = DEFAULT_MERGE_FAN,
+                batch_size=None) -> BloomFilter:
+    """One filter per batch (streaming), tree-merged in the cluster —
+    the driver OR-merges at most ``merge_fan`` filters (O(1) in corpus
+    size) instead of one per block."""
     merged = BloomFilter(m_bits, k)
-    for row in ds.map_batches(per_batch, batch_format="pyarrow").iter_rows():
+    parts = _bloom_partials(ds, column, m_bits, k, merge_fan, batch_size)
+    for row in parts.iter_rows():
         merged = merged.merge(BloomFilter.from_bytes(row["bloom"], m_bits, k))
     return merged
 

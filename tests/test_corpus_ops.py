@@ -413,6 +413,30 @@ def test_bloom_filter_membership_and_merge(ray_session):
     assert flagged.loc[200:, "maybe_seen"].mean() < 0.05
 
 
+def test_bloom_build_driver_sees_bounded_filters(ray_session):
+    """The driver-side merge loop must consume O(merge_fan) filters, not
+    one per block — the tree-merge contract that makes build_bloom safe
+    at 10^6 blocks (mirrors the no-text-crosses-driver test style)."""
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.bloom import (
+        BloomFilter, _bloom_partials, build_bloom)
+
+    texts = [f"doc body {i} with some shared tokens" for i in range(3000)]
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts)})).repartition(48)
+    fan = 8
+    # batch_size=50 → ~60 per-batch filters, far more than the fan
+    parts = _bloom_partials(ds, "text", 1 << 16, 4, merge_fan=fan,
+                            batch_size=50)
+    n_parts = parts.count()
+    assert n_parts <= fan                     # bounded fan-in to the driver
+    # and the bounded merge is still bit-exact vs the sequential build
+    seq = BloomFilter(1 << 16, 4)
+    seq.add(texts)
+    built = build_bloom(ds.repartition(48), m_bits=1 << 16, merge_fan=fan,
+                        batch_size=50)
+    assert (built.bits == seq.bits).all()
+
+
 # ---------------------------------------------------------------------------
 # chained hash joins (key-dtype contract)
 

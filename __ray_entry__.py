@@ -24,9 +24,19 @@ import pyarrow as pa
 _SF_DEFAULT = "/root/testdata/sf0.001"
 
 
-def _docs(sf_dir: str):
+def _docs(sf_dir: str, columns=None):
+    """documents table; pass ``columns`` so projection happens AT the
+    read (only those columns leave storage) rather than as a
+    select_columns after a full-width scan."""
     import ray.data as rd
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=columns)
+
+
+def _embeddings(sf_dir: str, columns=("vec_id", "embedding")):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=list(columns))
 
 
 def _corpus_docs_for(sf_dir: str) -> int:
@@ -78,7 +88,7 @@ def _extract_text_render(sf_dir: str):
     from ocr_table_extractor_to_csv_ray.config import EngineConfig, LayoutConfig
     from ocr_table_extractor_to_csv_ray.pipelines.extract import build_extraction_ds
     from ocr_table_extractor_to_csv_ray.sources.render import render_documents_batch
-    ds = _docs(sf_dir).map_batches(render_documents_batch, batch_format="pyarrow")
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(render_documents_batch, batch_format="pyarrow")
     cfg = EngineConfig(layout=LayoutConfig(layout="generic"))
     out = build_extraction_ds(ds, cfg)
     return out.select_columns(["doc_id", "layout", "n_rows", "n_cols"])
@@ -302,7 +312,7 @@ def _hocr_parse_extract(sf_dir: str):
 def _split_hash(sf_dir: str):
     """O6: stable hash split, labeled rows."""
     from ocr_table_extractor_to_csv_ray.functions.split import hash_split
-    tr, ev = hash_split(_docs(sf_dir).select_columns(["doc_id"]), eval_ratio=0.2)
+    tr, ev = hash_split(_docs(sf_dir, ["doc_id"]), eval_ratio=0.2)
     tr = tr.map_batches(lambda t: t.append_column(
         "split", pa.array(["train"] * t.num_rows)), batch_format="pyarrow")
     ev = ev.map_batches(lambda t: t.append_column(
@@ -329,7 +339,7 @@ def _html_corpus(sf_dir: str):
         return pa.table({"doc_id": pa.array([str(i) for i in ids]),
                          "html": pa.array(pages)})
 
-    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         render, batch_format="pyarrow")
 
 
@@ -358,7 +368,7 @@ def _bloom_flag(sf_dir: str):
     from ocr_table_extractor_to_csv_ray.functions.bloom import (
         bloom_flag, build_bloom)
 
-    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    docs = _docs(sf_dir, ["doc_id", "text"])
 
     def evens(t: pa.Table) -> pa.Table:
         return t.filter(pa.array(t["doc_id"].to_numpy() % 2 == 0))
@@ -373,7 +383,7 @@ def _pack_sequences(sf_dir: str):
     groupby → in-bucket ordered cumsum), windows of 256 tokens
     (functions/pack.py)."""
     from ocr_table_extractor_to_csv_ray.functions.pack import pack_offsets
-    return pack_offsets(_docs(sf_dir).select_columns(["doc_id", "text"]),
+    return pack_offsets(_docs(sf_dir, ["doc_id", "text"]),
                         seq_len=256, num_buckets=16)
 
 
@@ -382,7 +392,7 @@ def _pack_manifest(sf_dir: str):
     many docs overlap it and how many positions they fill
     (functions/pack.py::pack_manifest)."""
     from ocr_table_extractor_to_csv_ray.functions.pack import pack_manifest
-    return pack_manifest(_docs(sf_dir).select_columns(["doc_id", "text"]),
+    return pack_manifest(_docs(sf_dir, ["doc_id", "text"]),
                          seq_len=256, num_buckets=16)
 
 
@@ -404,14 +414,14 @@ def _repetition_stats(sf_dir: str):
             "text": pc.binary_join_element_wise(text, suffix, ""),
         })
 
-    return (_docs(sf_dir).select_columns(["doc_id", "text"])
+    return (_docs(sf_dir, ["doc_id", "text"])
             .map_batches(inject, batch_format="pyarrow")
             .map_batches(repetition_stats_batch, batch_format="pyarrow"))
 
 
 def _doc_token_stats(sf_dir: str):
     from ocr_table_extractor_to_csv_ray.functions.textstats import token_stats_batch
-    return (_docs(sf_dir)
+    return (_docs(sf_dir, ["doc_id", "text"])
             .map_batches(token_stats_batch, batch_format="pyarrow")
             .select_columns(["doc_id", "n_chars", "n_tokens_ws"]))
 
@@ -421,14 +431,14 @@ def _top_terms(sf_dir: str):
     sum, partial top-k); the CMS sketch in functions/sketch.py is the
     beyond-vocabulary scale path."""
     from ocr_table_extractor_to_csv_ray.functions.sketch import top_terms
-    return top_terms(_docs(sf_dir), k=20)
+    return top_terms(_docs(sf_dir, ["text"]), k=20)
 
 
 def _term_doc_freq(sf_dir: str):
     """Vocabulary-scale aggregate: document frequency per token, with
     per-batch distinct-(token,doc) pre-aggregation before the shuffle."""
     from ocr_table_extractor_to_csv_ray.functions.textstats import doc_freq
-    return doc_freq(_docs(sf_dir), min_df=2)
+    return doc_freq(_docs(sf_dir, ["text"]), min_df=2)
 
 
 _BM25_TERMS = ("data", "table", "vector")
@@ -438,12 +448,12 @@ def _bm25_search(sf_dir: str):
     """BM25 top-20 over documents for a fixed query, fixed-point integer
     scores (functions/search.py)."""
     from ocr_table_extractor_to_csv_ray.functions.search import bm25_search
-    return bm25_search(_docs(sf_dir), _BM25_TERMS, k=20)
+    return bm25_search(_docs(sf_dir, ["doc_id", "text"]), _BM25_TERMS, k=20)
 
 
 def _lang_distribution(sf_dir: str):
     from ray.data.aggregate import Count
-    return _docs(sf_dir).groupby("lang").aggregate(Count(alias_name="n_docs"))
+    return _docs(sf_dir, ["lang"]).groupby("lang").aggregate(Count(alias_name="n_docs"))
 
 
 def _corpus_stats_by_lang(sf_dir: str):
@@ -460,21 +470,21 @@ def _corpus_stats_by_lang(sf_dir: str):
             "docs": pc.cast(g["doc_id_count"], pa.int64()),
         })
 
-    partials = _docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    partials = _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(partial, batch_format="pyarrow")
     return partials.groupby("lang").aggregate(
         Sum("chars", alias_name="total_chars"), Sum("docs", alias_name="n_docs"))
 
 
 def _langid(sf_dir: str):
     from ocr_table_extractor_to_csv_ray.functions.textstats import LangIdStage
-    return (_docs(sf_dir)
+    return (_docs(sf_dir, ["doc_id", "text"])
             .map_batches(LangIdStage, batch_format="pyarrow", concurrency=2)
             .select_columns(["doc_id", "lang_pred"]))
 
 
 def _quality(sf_dir: str):
     from ocr_table_extractor_to_csv_ray.functions.textstats import QualityStage
-    return (_docs(sf_dir)
+    return (_docs(sf_dir, ["doc_id", "text"])
             .map_batches(QualityStage, batch_format="pyarrow", concurrency=2)
             .select_columns(["doc_id", "n_tokens", "mean_token_len", "punct_ratio",
                              "stopword_ratio", "repetition_ratio", "quality_score"]))
@@ -482,7 +492,7 @@ def _quality(sf_dir: str):
 
 def _fingerprint(sf_dir: str):
     from ocr_table_extractor_to_csv_ray.functions.textstats import md5_fingerprint_batch
-    return (_docs(sf_dir)
+    return (_docs(sf_dir, ["doc_id", "text"])
             .map_batches(md5_fingerprint_batch, batch_format="pyarrow")
             .select_columns(["doc_id", "fp"]))
 
@@ -497,7 +507,7 @@ def _rolling_fingerprint(sf_dir: str):
             "fp_min": pc.list_element(t["fp_sketch"], 0),
         })
 
-    return (_docs(sf_dir)
+    return (_docs(sf_dir, ["doc_id", "text"])
             .map_batches(rolling_fingerprint_batch, batch_format="pyarrow")
             .map_batches(first_hash, batch_format="pyarrow"))
 
@@ -525,7 +535,7 @@ def _pii_scrub(sf_dir: str):
     RE2 scrub — counts on original text, sequential redaction
     email → IPv4 → phone (functions/pii.py)."""
     from ocr_table_extractor_to_csv_ray.functions.pii import scrub_pii
-    ds = (_docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = (_docs(sf_dir, ["doc_id", "text"])
           .map_batches(_inject_pii, batch_format="pyarrow"))
     return scrub_pii(ds)
 
@@ -549,7 +559,7 @@ def _decontam_eval(sf_dir: str):
     def train_only(b: pa.Table) -> pa.Table:
         return b.filter(pa.array(b["doc_id"].to_numpy() % 50 != 0))
 
-    train = (_docs(sf_dir).select_columns(["doc_id", "text"])
+    train = (_docs(sf_dir, ["doc_id", "text"])
              .map_batches(train_only, batch_format="pyarrow"))
     out = decontaminate(train, shingles, k=5)
     return out.select_columns(["doc_id", "contaminated", "n_hits"])
@@ -562,7 +572,7 @@ def _corpus_prep(sf_dir: str):
     Every stage's determinism contract composes, so the whole chain is
     one hash-exact SQL oracle."""
     from ocr_table_extractor_to_csv_ray.pipelines.corpus_prep import prep_corpus
-    ds = (_docs(sf_dir).select_columns(["doc_id", "lang", "text"])
+    ds = (_docs(sf_dir, ["doc_id", "lang", "text"])
           .map_batches(_inject_pii, batch_format="pyarrow"))
     return prep_corpus(ds, quality_min=0.5, quality_concurrency=2)
 
@@ -586,7 +596,7 @@ def _dedup_lines(sf_dir: str):
             "NAVIGATION MENU HOME ABOUT CONTACT", text, footer, "tail", "\n")
         return pa.table({"doc_id": t["doc_id"], "text": joined})
 
-    ds = (_docs(sf_dir).select_columns(["doc_id", "text"])
+    ds = (_docs(sf_dir, ["doc_id", "text"])
           .map_batches(inject, batch_format="pyarrow"))
     return duplicate_line_removal(ds)
 
@@ -612,7 +622,7 @@ def _dedup_lines_diff_count(sf_dir: str):
             "NAVIGATION MENU HOME ABOUT CONTACT", text, footer, "tail", "\n")
         return pa.table({"doc_id": t["doc_id"], "text": joined})
 
-    inj = lambda: (_docs(sf_dir).select_columns(["doc_id", "text"])
+    inj = lambda: (_docs(sf_dir, ["doc_id", "text"])
                    .map_batches(inject, batch_format="pyarrow"))
     cleaned = duplicate_line_removal(inj()).map_batches(
         lambda t: pa.table({"doc_id": t["doc_id"], "text": t["text_clean"]}),
@@ -636,7 +646,7 @@ def _lang_mixture_sample(sf_dir: str):
     from ocr_table_extractor_to_csv_ray.functions.sampling import (
         mixture_sample)
     return mixture_sample(
-        _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"]),
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"]),
         weights=_MIXTURE_WEIGHTS, budget_column="n_chars",
     ).select_columns(["doc_id", "lang"])
 
@@ -647,14 +657,14 @@ def _lang_temperature_sample(sf_dir: str):
     (functions/sampling.py::temperature_sample — bit-exact vs the SQL
     oracle because sqrt/floor are correctly rounded IEEE both sides)."""
     from ocr_table_extractor_to_csv_ray.functions.sampling import temperature_sample
-    return temperature_sample(_docs(sf_dir).select_columns(["doc_id", "lang"]))
+    return temperature_sample(_docs(sf_dir, ["doc_id", "lang"]))
 
 
 def _stratified_sample(sf_dir: str):
     """Content-hash stratified sample: 50% en, 25% es/fr, 10% rest."""
     from ocr_table_extractor_to_csv_ray.functions.sampling import stratified_sample
     out = stratified_sample(
-        _docs(sf_dir).select_columns(["doc_id", "lang"]),
+        _docs(sf_dir, ["doc_id", "lang"]),
         rates={"en": 0.5, "es": 0.25, "fr": 0.25}, default_rate=0.10)
     return out
 
@@ -662,7 +672,7 @@ def _stratified_sample(sf_dir: str):
 def _topk_docs_per_lang(sf_dir: str):
     """3 longest documents per language (ties by doc_id)."""
     from ocr_table_extractor_to_csv_ray.functions.sampling import topk_per_group
-    ds = _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"])
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
     return topk_per_group(ds, "lang", "n_chars", k=3)
 
 
@@ -673,7 +683,7 @@ def _vocab_size(sf_dir: str):
     """Exact corpus-wide distinct-token count (local dedup → global)."""
     import pandas as pd
     from ocr_table_extractor_to_csv_ray.functions.sketch import exact_vocab_size
-    return pd.DataFrame({"vocab": pd.array([exact_vocab_size(_docs(sf_dir))],
+    return pd.DataFrame({"vocab": pd.array([exact_vocab_size(_docs(sf_dir, ["text"]))],
                                            dtype="int64")})
 
 
@@ -682,7 +692,7 @@ def _vocab_by_lang(sf_dir: str):
     partials → groupby-distinct → partial counts → tiny sum groupby
     (functions/sketch.py::exact_vocab_by_group)."""
     from ocr_table_extractor_to_csv_ray.functions.sketch import exact_vocab_by_group
-    return exact_vocab_by_group(_docs(sf_dir).select_columns(["lang", "text"]))
+    return exact_vocab_by_group(_docs(sf_dir, ["lang", "text"]))
 
 
 def _vocab_hll_by_lang(sf_dir: str):
@@ -690,37 +700,37 @@ def _vocab_hll_by_lang(sf_dir: str):
     DISTRIBUTED aggregate — per-batch per-group sketches, register-max
     merge inside groupby().map_groups (functions/sketch.py)."""
     from ocr_table_extractor_to_csv_ray.functions.sketch import hll_vocab_by_group
-    return hll_vocab_by_group(_docs(sf_dir).select_columns(["lang", "text"]))
+    return hll_vocab_by_group(_docs(sf_dir, ["lang", "text"]))
 
 
 def _vocab_hll(sf_dir: str):
     """HyperLogLog estimate (mergeable per-batch sketches)."""
     import pandas as pd
     from ocr_table_extractor_to_csv_ray.functions.sketch import hll_vocab_sketch
-    est, _ = hll_vocab_sketch(_docs(sf_dir))
+    est, _ = hll_vocab_sketch(_docs(sf_dir, ["text"]))
     return pd.DataFrame({"vocab_estimate": pd.array([round(est)], dtype="int64")})
 
 
 def _dedup_exact(sf_dir: str):
     from ocr_table_extractor_to_csv_ray.functions.dedup import exact_dedup
-    return exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
+    return exact_dedup(_docs(sf_dir, ["doc_id", "text"])).select_columns(["doc_id"])
 
 
 def _dedup_minhash(sf_dir: str):
     from ocr_table_extractor_to_csv_ray.functions.dedup import minhash_lsh_dedup
-    surv, _ = minhash_lsh_dedup(_docs(sf_dir).select_columns(["doc_id", "text"]))
+    surv, _ = minhash_lsh_dedup(_docs(sf_dir, ["doc_id", "text"]))
     return surv.select_columns(["doc_id"])
 
 
 def _dedup_simhash(sf_dir: str):
     from ocr_table_extractor_to_csv_ray.functions.dedup import simhash_dedup
-    surv, _ = simhash_dedup(_docs(sf_dir).select_columns(["doc_id", "text"]))
+    surv, _ = simhash_dedup(_docs(sf_dir, ["doc_id", "text"]))
     return surv.select_columns(["doc_id"])
 
 
 def _dedup_ngram(sf_dir: str):
     from ocr_table_extractor_to_csv_ray.functions.dedup import ngram_jaccard_dedup
-    surv, _ = ngram_jaccard_dedup(_docs(sf_dir).select_columns(["doc_id", "text"]))
+    surv, _ = ngram_jaccard_dedup(_docs(sf_dir, ["doc_id", "text"]))
     return surv.select_columns(["doc_id"])
 
 
@@ -738,7 +748,7 @@ def _kmeans_embeddings(sf_dir: str):
 def _dedup_embedding(sf_dir: str):
     import ray.data as rd
     from ocr_table_extractor_to_csv_ray.functions.dedup import embedding_neardup
-    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = _embeddings(sf_dir)
     surv, _ = embedding_neardup(emb, threshold=0.97)
     return surv.select_columns(["vec_id"])
 
@@ -759,7 +769,7 @@ def _query_matrix(sf_dir: str, k: int = 3) -> np.ndarray:
 def _knn_cosine(sf_dir: str):
     import ray.data as rd
     from ocr_table_extractor_to_csv_ray.functions.similarity import knn_bruteforce
-    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = _embeddings(sf_dir)
     out = knn_bruteforce(emb, _query_matrix(sf_dir), k=10)
     return out.select_columns(["query_id", "vec_id", "rank"])
 
@@ -767,7 +777,7 @@ def _knn_cosine(sf_dir: str):
 def _knn_ivf(sf_dir: str):
     import ray.data as rd
     from ocr_table_extractor_to_csv_ray.functions.similarity import knn_ivf
-    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = _embeddings(sf_dir)
     out = knn_ivf(emb, _query_matrix(sf_dir), k=10)
     return out.select_columns(["query_id", "vec_id", "rank"])
 
@@ -1034,7 +1044,7 @@ def _join_doc_labels(sf_dir: str):
                           columns=["vec_id", "label"]).to_pandas()
     small = small.rename(columns={"vec_id": "doc_id"})
     small["label"] = small["label"].astype("int64")
-    out = broadcast_join(_docs(sf_dir).select_columns(["doc_id"]), small, "doc_id")
+    out = broadcast_join(_docs(sf_dir, ["doc_id"]), small, "doc_id")
     return out
 
 
@@ -1673,7 +1683,7 @@ def _doc_token_commonness(sf_dir: str):
     import pyarrow.compute as pc
     from ocr_table_extractor_to_csv_ray.functions.agg import grouped_sum
 
-    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    docs = _docs(sf_dir, ["doc_id", "text"])
     num_buckets = 16
 
     def pair_counts(t: pa.Table) -> pa.Table:
@@ -1737,7 +1747,7 @@ def _token_bigram_counts(sf_dir: str):
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
-    docs = _docs(sf_dir).select_columns(["text"])
+    docs = _docs(sf_dir, ["text"])
     k = 20
 
     def pair_partial(t: pa.Table) -> pa.Table:
@@ -1941,7 +1951,7 @@ def _consistent_sample(sf_dir: str):
     oracle reproduces it; two-stage top-k, never a full sort."""
     from ocr_table_extractor_to_csv_ray.functions.sampling import (
         consistent_sample)
-    docs = _docs(sf_dir).select_columns(["doc_id", "lang"])
+    docs = _docs(sf_dir, ["doc_id", "lang"])
     return consistent_sample(docs, k=100, id_column="doc_id",
                              keep_columns=["doc_id", "lang"])
 

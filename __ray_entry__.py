@@ -33,6 +33,31 @@ def _docs(sf_dir: str, columns=None):
                            columns=columns)
 
 
+def _pq_col_max(path: str, col: str):
+    """Max of an int column from parquet row-group statistics — zero
+    data read. Returns None when any row group lacks min/max stats
+    (callers must then take the non-broadcast tier)."""
+    import pyarrow.parquet as pq
+    f = pq.ParquetFile(path)
+    try:
+        idx = f.schema_arrow.names.index(col)
+    except ValueError:
+        return None
+    mx = None
+    for i in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(i).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        mx = st.max if mx is None else max(mx, st.max)
+    return mx
+
+
+# broadcast-LUT tiers gate on the dense LUT LENGTH (max_key + 1), not
+# the dimension's row count — sparse keys otherwise over-allocate
+_NTM_SUPP_LUT_MAX = 16_000_000     # int16 LUT: ≤ 32 MB broadcast
+_NTM_CUST_LUT_MAX = 2_000_000      # int32 LUT: ≤ 8 MB broadcast
+
+
 def _embeddings(sf_dir: str, columns=("vec_id", "embedding")):
     import ray.data as rd
     return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
@@ -2642,38 +2667,70 @@ def _nation_trade_matrix(sf_dir: str):
     from ocr_table_extractor_to_csv_ray.functions.agg import grouped_sum
     from ocr_table_extractor_to_csv_ray.functions.join import hash_join
 
-    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
-                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    lut = np.full(int(sup["s_suppkey"].max()) + 1, -1, dtype=np.int16)
-    lut[sup["s_suppkey"].to_numpy()] = (
-        sup["s_nationkey"].to_numpy().astype(np.int16))
-    lut_ref = ray.put(lut)
-
+    sup_path = os.path.join(sf_dir, "supplier.parquet")
     li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
                          columns=["l_orderkey", "l_suppkey",
                                   "l_extendedprice", "l_discount"])
 
-    def li_partial(t: pa.Table) -> pa.Table:
-        table = ray.get(lut_ref)
-        keys = t["l_suppkey"].to_numpy()
-        if keys.size and (keys.min() < 0 or keys.max() >= table.size
-                          or table[keys].min() < 0):
-            raise ValueError("trade matrix: l_suppkey outside the "
-                             "broadcast supplier dimension")
-        cents = pc.cast(pc.floor(pc.multiply(pc.multiply(
+    def _cents(t: pa.Table) -> pa.Array:
+        return pc.cast(pc.floor(pc.multiply(pc.multiply(
             t["l_extendedprice"],
             pc.subtract(pa.scalar(1.0), t["l_discount"])),
             pa.scalar(100.0))), pa.int64())
-        g = (pa.table({"o_orderkey": t["l_orderkey"],
-                       "supp_nat": pa.array(table[keys].astype(np.int64)),
-                       "cents": cents})
-             .group_by(["o_orderkey", "supp_nat"])
-             .aggregate([("cents", "sum")]))
+
+    def presum(t: pa.Table) -> pa.Table:
+        g = (t.group_by(["o_orderkey", "supp_nat"])
+              .aggregate([("cents", "sum")]))
         return pa.table({"o_orderkey": g["o_orderkey"],
-                         "supp_nat": g["supp_nat"],
+                         "supp_nat": pc.cast(g["supp_nat"], pa.int64()),
                          "cents": pc.cast(g["cents_sum"], pa.int64())})
 
-    rev = li.map_batches(li_partial, batch_format="pyarrow")
+    # ADVICE r4: gate the broadcast tiers on the LUT *length*
+    # (max_key + 1, from parquet column statistics — free), not the row
+    # count: with sparse keys np.full(max+1) can allocate far beyond
+    # what the row count suggests.
+    smax = _pq_col_max(sup_path, "s_suppkey")
+    if smax is not None and smax + 1 <= _NTM_SUPP_LUT_MAX:
+        sup = pq.read_table(sup_path,
+                            columns=["s_suppkey", "s_nationkey"]).to_pandas()
+        lut = np.full(int(smax) + 1, -1, dtype=np.int16)
+        lut[sup["s_suppkey"].to_numpy()] = (
+            sup["s_nationkey"].to_numpy().astype(np.int16))
+        lut_ref = ray.put(lut)
+
+        def li_partial(t: pa.Table) -> pa.Table:
+            table = ray.get(lut_ref)
+            keys = t["l_suppkey"].to_numpy()
+            if keys.size and (keys.min() < 0 or keys.max() >= table.size
+                              or table[keys].min() < 0):
+                raise ValueError("trade matrix: l_suppkey outside the "
+                                 "broadcast supplier dimension")
+            return presum(pa.table({
+                "o_orderkey": t["l_orderkey"],
+                "supp_nat": pa.array(table[keys].astype(np.int64)),
+                "cents": _cents(t)}))
+
+        rev = li.map_batches(li_partial, batch_format="pyarrow")
+    else:
+        # supplier dimension too big (or stats missing) to broadcast
+        # densely: one bucketed join on l_suppkey, then the same
+        # per-batch (orderkey, supp_nat) pre-sum
+        def li_keyed(t: pa.Table) -> pa.Table:
+            return pa.table({"l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                             "o_orderkey": t["l_orderkey"],
+                             "cents": _cents(t)})
+
+        sup_ds = (rd.read_parquet(sup_path,
+                                  columns=["s_suppkey", "s_nationkey"])
+                  .map_batches(lambda t: pa.table({
+                      "l_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+                      "supp_nat": pc.cast(t["s_nationkey"], pa.int64())}),
+                      batch_format="pyarrow"))
+        jS = hash_join(li.map_batches(li_keyed, batch_format="pyarrow"),
+                       sup_ds, key="l_suppkey", num_buckets=16)
+        rev = jS.map_batches(
+            lambda t: presum(t.select(["o_orderkey", "supp_nat", "cents"])),
+            batch_format="pyarrow")
     orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_orderkey", "o_custkey"])
     j1 = hash_join(rev, orders, key="o_orderkey", num_buckets=16)
@@ -2684,11 +2741,11 @@ def _nation_trade_matrix(sf_dir: str):
     # join saved); fall back to the bucketed join for customer
     # dimensions too big to ship to every worker.
     cust_path = os.path.join(sf_dir, "customer.parquet")
-    n_cust = pq.ParquetFile(cust_path).metadata.num_rows
-    if n_cust <= 2_000_000:
+    cmax = _pq_col_max(cust_path, "c_custkey")
+    if cmax is not None and cmax + 1 <= _NTM_CUST_LUT_MAX:
         cdf = pq.read_table(cust_path,
                             columns=["c_custkey", "c_nationkey"]).to_pandas()
-        clut = np.full(int(cdf["c_custkey"].max()) + 1, -1, dtype=np.int32)
+        clut = np.full(int(cmax) + 1, -1, dtype=np.int32)
         clut[cdf["c_custkey"].to_numpy()] = (
             cdf["c_nationkey"].to_numpy().astype(np.int32))
         clut_ref = ray.put(clut)

@@ -66,7 +66,10 @@ def word_frequencies(ds, text_col: str = "text", num_buckets: int = 32):
     the single bucketed shuffle."""
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        words = b[text_col].astype(str).str.split().explode().dropna()
+        # dropna BEFORE astype(str): a null payload must contribute no
+        # words, not the literal token 'nan'/'None' (explicit null
+        # contract shared with the sequential oracle)
+        words = b[text_col].dropna().astype(str).str.split().explode().dropna()
         vc = words.value_counts(sort=False)
         return pd.DataFrame({"word": vc.index.astype(str),
                              "freq": vc.to_numpy().astype("int64")})
@@ -143,9 +146,12 @@ def learn_bpe(ds, n_merges: int = 8, text_col: str = "text",
                     k = (syms[i], syms[i + 1])
                     counts[k] = counts.get(k, 0) + f
             if not counts:
-                return pd.DataFrame({"lhs": pd.array([], dtype=str),
-                                     "rhs": pd.array([], dtype=str),
-                                     "n": pd.array([], dtype="int64")})
+                # explicit string dtype: an object-dtype empty frame
+                # converts to Arrow type `null` and breaks schema
+                # unification with non-empty sibling blocks
+                return pd.DataFrame({"lhs": pd.Series([], dtype="string"),
+                                     "rhs": pd.Series([], dtype="string"),
+                                     "n": pd.Series([], dtype="int64")})
             items = list(counts.items())
             return pd.DataFrame({
                 "lhs": [k[0] for k, _ in items],

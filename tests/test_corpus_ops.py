@@ -1286,3 +1286,38 @@ def test_consistent_sample_stable_under_growth(ray_session):
     s1b = sorted(r["doc_id"] for r in consistent_sample(
         rd.from_pandas(small).repartition(5), k=k).take_all())
     assert s1b == s1
+
+
+def test_nation_trade_matrix_tiers_equivalent(ray_session, monkeypatch):
+    """All four LUT-tier combinations (supplier/customer broadcast vs
+    bucketed join) produce the identical matrix, and the gate keys on
+    the dense LUT length (max_key + 1), not row count."""
+    import __ray_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+
+    def run():
+        return (E._nation_trade_matrix(sf).to_pandas()
+                .sort_values(["cust_nation", "supp_nation"])
+                .reset_index(drop=True))
+
+    base = run()                               # both broadcast tiers
+    monkeypatch.setattr(E, "_NTM_SUPP_LUT_MAX", 0)
+    sup_join = run()                           # supplier falls back to join
+    monkeypatch.setattr(E, "_NTM_CUST_LUT_MAX", 0)
+    both_join = run()                          # both sides bucketed joins
+    monkeypatch.setattr(E, "_NTM_SUPP_LUT_MAX", 16_000_000)
+    cust_join = run()                          # customer-only fallback
+    for other in (sup_join, both_join, cust_join):
+        assert base.equals(other)
+    assert len(base) > 0
+
+
+def test_pq_col_max_matches_data(tmp_path):
+    import pyarrow.parquet as pq
+    import __ray_entry__ as E
+
+    t = pa.table({"k": pa.array([7, 3, 9_999, 12], pa.int64())})
+    pq.write_table(t, tmp_path / "t.parquet", row_group_size=2)
+    assert E._pq_col_max(str(tmp_path / "t.parquet"), "k") == 9_999
+    assert E._pq_col_max(str(tmp_path / "t.parquet"), "absent") is None

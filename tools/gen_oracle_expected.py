@@ -206,7 +206,8 @@ def expected_bpe(sf_dir: str, n_merges: int = 10) -> pd.DataFrame:
     from collections import Counter
 
     _, texts = _load_docs(sf_dir)
-    wf = Counter(w for t in texts for w in str(t).split())
+    # null texts contribute no words (matches learn path's dropna)
+    wf = Counter(w for t in texts if t is not None for w in str(t).split())
 
     def apply(symbols, merges):
         for a, b in merges:

@@ -22,10 +22,13 @@ Why this shape at 100 TB:
   sum, node count) reach the driver per iteration.
 - iteration count = O(graph diameter). Dedup/similarity graphs this
   engine feeds it (near-dup clusters, co-occurrence buckets) have small
-  diameters; for adversarial long chains a pointer-jumping /
-  large-star-small-star variant halves distances per round — documented
-  here as the scale escape hatch, deliberately not the default because
-  it doubles the per-round shuffles.
+  diameters; for adversarial long chains the opt-in
+  ``mode="pointer_jumping"`` adds one label-of-label shortcut per round
+  (labels are node ids, so the label table doubles as a parent-pointer
+  table), contracting chains exponentially — O(log diameter) rounds.
+  Deliberately not the default because the shortcut is a second
+  per-round shuffle (a self-join of the label table) that small-diameter
+  graphs never pay for.
 
 The reference has no graph operator; this is part of the
 beyond-reference corpus layer (duplicate-cluster connectivity for
@@ -61,7 +64,8 @@ def _label_sum(labels) -> int:
 def connected_components(edges, src: str = "src", dst: str = "dst",
                          max_iters: int = 64, num_buckets: int = 16,
                          broadcast_threshold: int = 2_000_000,
-                         local_threshold: int = 4_000_000):
+                         local_threshold: int = 4_000_000,
+                         mode: str = "hash_min"):
     """Connected components of the undirected graph given by an edge
     Dataset. Returns a Dataset ``(node:int64, component:int64)`` where
     ``component`` is the minimum node id in the node's component.
@@ -73,7 +77,18 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
     performed — per-batch dedup inside the adjacency kernel is a pure
     shuffle-size optimization.
 
-    Size-adaptive like :func:`pagerank` (same rationale, measured on
+    ``mode="pointer_jumping"`` (opt-in, for high-diameter graphs):
+    every round appends one shortcut step ``lbl(v) ← lbl(lbl(v))``
+    after the flood — valid because labels ARE node ids (the seed
+    guarantees ``lbl(v) ≤ v``, so the pointed-to node exists and its
+    label is never larger), which makes the label table its own
+    parent-pointer table. Distances to the component minimum contract
+    exponentially, so convergence takes O(log diameter) rounds instead
+    of O(diameter), at the cost of one extra label-table self-join
+    (join tier) or an O(n_nodes) gather (broadcast/local tiers) per
+    round. Identical min-update fixpoint, identical stopping witness.
+
+    Size-adaptive (same rationale as :func:`pagerank`, measured on
     the same box): at ``n_nodes <= broadcast_threshold`` the label
     vector lives on the driver, broadcast via ``ray.put`` each round,
     and every round is ONE shuffle-free streaming pass over the
@@ -92,6 +107,10 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
     import ray.data as rd
 
     from .agg import grouped_agg
+
+    if mode not in ("hash_min", "pointer_jumping"):
+        raise ValueError(f"unknown connected_components mode: {mode!r}")
+    jump = mode == "pointer_jumping"
 
     def to_adj(t: pa.Table) -> pa.Table:
         # doubled adjacency, deduped within the batch only
@@ -149,6 +168,10 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
             for _ in range(max_iters):
                 new = lbl.copy()
                 np.minimum.at(new, nbr_i, lbl[src_i])
+                if jump:
+                    # shortcut: lbl(v) ← lbl(lbl(v)) — labels are node
+                    # ids, never larger than their own label
+                    new = new[np.searchsorted(nodes, new)]
                 lbl = new
                 cur_sum = int(lbl.sum())
                 if cur_sum == prev_sum:
@@ -158,8 +181,8 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
                 raise RuntimeError(
                     f"connected_components did not converge in "
                     f"{max_iters} iterations — graph diameter exceeds "
-                    "the bound; raise max_iters or switch to the "
-                    "pointer-jumping variant")
+                    "the bound; raise max_iters or pass "
+                    "mode='pointer_jumping'")
             return rd.from_arrow(pa.table({
                 "node": pa.array(nodes), "component": pa.array(lbl)}))
 
@@ -188,6 +211,8 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
                     batch_format="pyarrow"):
                 np.minimum.at(new, b["idx"].to_numpy(zero_copy_only=False),
                               b["m"].to_numpy(zero_copy_only=False))
+            if jump:
+                new = new[np.searchsorted(nodes, new)]
             lbl = new
             cur_sum = int(lbl.sum())
             if cur_sum == prev_sum:
@@ -197,7 +222,7 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
             raise RuntimeError(
                 f"connected_components did not converge in {max_iters} "
                 "iterations — graph diameter exceeds the bound; raise "
-                "max_iters or switch to the pointer-jumping variant")
+                "max_iters or pass mode='pointer_jumping'")
         return rd.from_arrow(pa.table({
             "node": pa.array(nodes), "component": pa.array(lbl)}))
 
@@ -224,6 +249,21 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
             joined.map_batches(flood, batch_format="pandas"),
             "node", {"lbl": ("lbl", "min")},
             num_buckets=num_buckets).materialize()
+        if jump:
+            # shortcut shuffle: look up each label's OWN label via a
+            # self-join of the O(n_nodes) label table (labels are node
+            # ids, so every pointer target has exactly one row)
+            ptr = labels.map_batches(
+                lambda t: pa.table({"node": _int64(t["lbl"]),
+                                    "orig": _int64(t["node"])}),
+                batch_format="pyarrow")
+            labels = hash_join(
+                ptr, labels, key="node", num_buckets=num_buckets,
+                how="inner",
+            ).map_batches(
+                lambda t: pa.table({"node": _int64(t["orig"]),
+                                    "lbl": _int64(t["lbl"])}),
+                batch_format="pyarrow").materialize()
         cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
             break
@@ -232,7 +272,7 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} "
             "iterations — graph diameter exceeds the bound; raise "
-            "max_iters or switch to the pointer-jumping variant")
+            "max_iters or pass mode='pointer_jumping'")
 
     def rename(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["node"], "component": t["lbl"]})

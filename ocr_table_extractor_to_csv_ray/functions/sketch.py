@@ -9,8 +9,12 @@ serialized sketch per batch and merge them in a second, tiny stage"):
   token value).
 - :class:`HyperLogLog` — classic HLL (Flajolet et al., public
   algorithm) with the standard bias corrections; one sketch per batch,
-  merged on the driver (register-wise max — associative, so a tree
-  merge on a cluster is the same code).
+  pre-merged in ONE bounded-fan-in ``groupby(bucket).map_groups``
+  round (register-wise max is commutative/associative/idempotent, so
+  the grouping is result-invariant) — the driver max-merges at most
+  ``merge_fan`` sketches no matter how many blocks the corpus has
+  (same shape as functions/bloom.py's tree merge; at 10^6 blocks a
+  driver-serial merge would pull 4 GB through one process).
 """
 
 from __future__ import annotations
@@ -83,19 +87,48 @@ def _batch_token_hashes(batch: pa.Table, column: str) -> np.ndarray:
                     dtype=np.uint64)
 
 
-def hll_vocab_sketch(ds, column: str = "text", p: int = 12):
-    """One serialized HLL per batch → driver merge → estimate.
+DEFAULT_MERGE_FAN = 64            # max sketches the driver ever sees
 
-    Returns ``(estimate, merged_sketch)``. The per-batch stage streams;
-    only ``4 KiB × n_batches`` reaches the driver.
-    """
+
+def _hll_partials(ds, column: str, p: int, merge_fan: int,
+                  batch_size=None):
+    """Dataset of ≤ ``merge_fan`` pre-merged HLLs: one sketch per
+    batch, bucketed by a content hash of its registers, each bucket
+    max-reduced inside ``map_groups`` with a single ``2**p``-byte
+    accumulator."""
+    import hashlib
+
     def sketch_batch(t: pa.Table) -> pa.Table:
         h = HyperLogLog(p)
         h.add_hashes(_batch_token_hashes(t, column))
-        return pa.table({"sketch": pa.array([h.to_bytes()], pa.binary())})
+        raw = h.to_bytes()
+        bucket = int.from_bytes(hashlib.md5(raw).digest()[:4], "little")
+        return pa.table({
+            "bucket": pa.array([bucket % merge_fan], pa.int64()),
+            "sketch": pa.array([raw], pa.binary()),
+        })
 
+    def max_group(t: pa.Table) -> pa.Table:
+        acc = np.zeros(1 << p, np.uint8)
+        for buf in t["sketch"]:
+            np.maximum(acc, np.frombuffer(buf.as_py(), np.uint8), out=acc)
+        return pa.table({"sketch": pa.array([acc.tobytes()], pa.binary())})
+
+    kw = {} if batch_size is None else {"batch_size": batch_size}
+    return (ds.map_batches(sketch_batch, batch_format="pyarrow", **kw)
+              .groupby("bucket")
+              .map_groups(max_group, batch_format="pyarrow"))
+
+
+def hll_vocab_sketch(ds, column: str = "text", p: int = 12,
+                     merge_fan: int = DEFAULT_MERGE_FAN):
+    """One serialized HLL per batch → bounded tree merge → estimate.
+
+    Returns ``(estimate, merged_sketch)``. The per-batch stage streams;
+    the driver max-merges at most ``merge_fan`` sketches (O(1) in
+    corpus size)."""
     merged = HyperLogLog(p)
-    for row in ds.map_batches(sketch_batch, batch_format="pyarrow").iter_rows():
+    for row in _hll_partials(ds, column, p, merge_fan).iter_rows():
         merged = merged.merge(HyperLogLog.from_bytes(row["sketch"], p))
     return merged.cardinality(), merged
 

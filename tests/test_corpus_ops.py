@@ -260,6 +260,27 @@ def test_hll_by_group_matches_per_group_global_sketch(ray_session):
         assert abs(got[lang] - truth) / truth < 0.1
 
 
+def test_hll_sketch_driver_sees_bounded_sketches(ray_session):
+    """Like the Bloom tree-merge: the driver must max-merge O(merge_fan)
+    sketches, not one per block, and the bounded merge is register-exact
+    vs a sequential single sketch (max is grouping-invariant)."""
+    import ray.data as rd
+    from ocr_table_extractor_to_csv_ray.functions.sketch import (
+        HyperLogLog, _batch_token_hashes, _hll_partials, hll_vocab_sketch)
+
+    texts = [" ".join(f"w{i}_{j}" for j in range(20)) for i in range(2000)]
+    t = pa.table({"text": pa.array(texts)})
+    ds = rd.from_arrow(t).repartition(40)
+    fan = 8
+    parts = _hll_partials(ds, "text", 12, fan, batch_size=50)
+    assert parts.count() <= fan
+    seq = HyperLogLog(12)
+    seq.add_hashes(_batch_token_hashes(t, "text"))
+    est, merged = hll_vocab_sketch(ds, merge_fan=fan)
+    assert (merged.registers == seq.registers).all()
+    assert est == seq.cardinality()
+
+
 def test_prep_corpus_checkpoint_identical(ray_session, tmp_path):
     import ray.data as rd
     from ocr_table_extractor_to_csv_ray.pipelines.corpus_prep import prep_corpus

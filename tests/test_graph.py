@@ -85,6 +85,42 @@ def test_disjoint_cliques_and_duplicates(ray_session):
                    for i in range(5)]
 
 
+@pytest.mark.parametrize("tier_kw", [
+    {},                                        # local (driver) tier
+    {"local_threshold": 0},                    # streaming broadcast tier
+    {"local_threshold": 0, "broadcast_threshold": 0},  # join tier
+])
+def test_pointer_jumping_equivalent_all_tiers(ray_session, tier_kw):
+    # same fixpoint as hash-min on random graphs, in every tier
+    rng = np.random.default_rng(23)
+    pairs = [(int(a), int(b))
+             for a, b in zip(rng.integers(0, 70, 90),
+                             rng.integers(0, 70, 90))]
+    assert (_run(pairs, mode="pointer_jumping", **tier_kw)
+            == _uf_components(pairs))
+
+
+def test_pointer_jumping_contracts_long_chain(ray_session):
+    # path graph of diameter 300: hash-min needs O(diameter) rounds and
+    # must FAIL its 24-round budget; pointer jumping contracts distances
+    # exponentially and converges well inside the same budget
+    pairs = [(i, i + 1) for i in range(300)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _run(pairs, max_iters=24)
+    got = _run(pairs, max_iters=24, mode="pointer_jumping")
+    assert got == [(i, 0) for i in range(301)]
+    # and in the join tier too (the distributed shortcut self-join);
+    # budget sized log-style, far below the 300-round hash-min need
+    got_join = _run(pairs, max_iters=24, mode="pointer_jumping",
+                    local_threshold=0, broadcast_threshold=0)
+    assert got_join == [(i, 0) for i in range(301)]
+
+
+def test_unknown_mode_rejected(ray_session):
+    with pytest.raises(ValueError, match="unknown"):
+        _run([(0, 1)], mode="frontier")
+
+
 def test_empty_edges(ray_session):
     src = pa.array([], pa.int64())
     ds = rd.from_arrow(pa.table({"src": src, "dst": src}))

@@ -245,10 +245,21 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
                  pa.array(lbl_np, type=pa.int64())])
             return pa.table({"node": node, "lbl": lbl})
 
+        # cap the label table at num_buckets blocks per round
+        # (repartition without shuffle=True is a task-local
+        # split/merge, not an all-to-all). Without the cap each
+        # round's hash_join unions the left and right block lists and
+        # the sort-shuffle's reducer count tracks its input block
+        # count, so labels' block count grows every round — linearly
+        # for hash-min, DOUBLING for pointer jumping (the self-join
+        # feeds labels in twice) — and per-round shuffle cost blows up
+        # quadratically/exponentially. Measured on a 300-chain at
+        # 4 CPUs: rounds went 0.6 s → 61 s by iteration 5 uncapped.
         labels = grouped_agg(
             joined.map_batches(flood, batch_format="pandas"),
             "node", {"lbl": ("lbl", "min")},
-            num_buckets=num_buckets).materialize()
+            num_buckets=num_buckets).repartition(
+            num_buckets).materialize()
         if jump:
             # shortcut shuffle: look up each label's OWN label via a
             # self-join of the O(n_nodes) label table (labels are node
@@ -263,7 +274,8 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
             ).map_batches(
                 lambda t: pa.table({"node": _int64(t["orig"]),
                                     "lbl": _int64(t["lbl"])}),
-                batch_format="pyarrow").materialize()
+                batch_format="pyarrow").repartition(
+                num_buckets).materialize()
         cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
             break
@@ -397,9 +409,17 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
                              "rank_micro": pa.array(r + np.int64(base))})
 
         # every node has degree >= 1 in the doubled adjacency, so the
-        # inflow table covers all nodes — no outer-join pad needed
-        ranks = inflow.map_batches(add_base,
-                                   batch_format="pyarrow").materialize()
+        # inflow table covers all nodes — no outer-join pad needed.
+        # repartition caps ranks at num_buckets blocks per iteration
+        # (cheap split/merge): hash_join's input block count is
+        # adj_deg blocks + ranks blocks and the shuffle's reducer
+        # count tracks it, so an uncapped ranks table grows by
+        # adj_deg's block count every iteration — quadratic total
+        # shuffle cost over the run (same pathology measured in
+        # connected_components' join tier above).
+        ranks = inflow.map_batches(
+            add_base, batch_format="pyarrow").repartition(
+            num_buckets).materialize()
 
     return ranks
 

@@ -486,10 +486,12 @@ def propagate_min_labels(pairs_ds, max_rounds: int = 10):
             return pd.DataFrame({"node": b["nbr"], "label": b["label"]})
 
         incoming = msgs.map_batches(_to_nbr, batch_format="pandas")
-        labels = (grouped_agg(labels.union(incoming), "node",
-                              {"label": ("label", "min")}, num_buckets=16)
-                  .select_columns(["node", "label"])
-                  .repartition(n_blocks).materialize())
+        from .graph import _sever_stats
+        labels = _sever_stats(
+            grouped_agg(labels.union(incoming), "node",
+                        {"label": ("label", "min")}, num_buckets=16)
+            .select_columns(["node", "label"])
+            .repartition(n_blocks).materialize())
         cur = _checksum(labels)
         if cur == prev:
             converged = True

@@ -50,6 +50,24 @@ def _int64(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     return arr
 
 
+def _sever_stats(mat):
+    """Cut the DatasetStats parent chain on a per-round materialized
+    table. Each round's stats record the previous round's stats object
+    as a parent, so over an O(diameter) loop the chain depth grows by
+    the full per-round plan depth every round — and Ray's recursive
+    ``DatasetStats.to_summary()`` (run by the streaming executor at
+    every shutdown) overflows the Python recursion limit after ~60
+    rounds. Blocks are already materialized; only lineage *metadata*
+    is dropped."""
+    try:
+        stats = mat._plan._snapshot_stats
+        if stats is not None:
+            stats.parents = []
+    except AttributeError:
+        pass  # Ray internals moved — loop still works, depth regrows
+    return mat
+
+
 def _label_sum(labels) -> int:
     """Exact int64 label sum via per-block partials (never the native
     global aggregate, whose ``repartition(1)`` + per-row combine costs
@@ -255,11 +273,11 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
         # feeds labels in twice) — and per-round shuffle cost blows up
         # quadratically/exponentially. Measured on a 300-chain at
         # 4 CPUs: rounds went 0.6 s → 61 s by iteration 5 uncapped.
-        labels = grouped_agg(
+        labels = _sever_stats(grouped_agg(
             joined.map_batches(flood, batch_format="pandas"),
             "node", {"lbl": ("lbl", "min")},
             num_buckets=num_buckets).repartition(
-            num_buckets).materialize()
+            num_buckets).materialize())
         if jump:
             # shortcut shuffle: look up each label's OWN label via a
             # self-join of the O(n_nodes) label table (labels are node
@@ -268,14 +286,14 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
                 lambda t: pa.table({"node": _int64(t["lbl"]),
                                     "orig": _int64(t["node"])}),
                 batch_format="pyarrow")
-            labels = hash_join(
+            labels = _sever_stats(hash_join(
                 ptr, labels, key="node", num_buckets=num_buckets,
                 how="inner",
             ).map_batches(
                 lambda t: pa.table({"node": _int64(t["orig"]),
                                     "lbl": _int64(t["lbl"])}),
                 batch_format="pyarrow").repartition(
-                num_buckets).materialize()
+                num_buckets).materialize())
         cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
             break
@@ -417,9 +435,9 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
         # adj_deg's block count every iteration — quadratic total
         # shuffle cost over the run (same pathology measured in
         # connected_components' join tier above).
-        ranks = inflow.map_batches(
+        ranks = _sever_stats(inflow.map_batches(
             add_base, batch_format="pyarrow").repartition(
-            num_buckets).materialize()
+            num_buckets).materialize())
 
     return ranks
 

@@ -127,6 +127,28 @@ def test_empty_edges(ray_session):
     assert connected_components(ds).count() == 0
 
 
+def test_join_tier_block_count_stays_bounded(ray_session):
+    # regression: each join-tier round once GREW the label table's
+    # block count (hash_join unions the two block lists; the shuffle's
+    # reducer count tracks input blocks) — doubling per round under
+    # pointer jumping, so a 300-chain went 0.6 s -> 61 s per round by
+    # iteration 5. The per-round repartition cap makes the returned
+    # table (last round's labels through a block-preserving rename)
+    # land at <= num_buckets blocks no matter how many rounds ran.
+    pairs = [(i, i + 1) for i in range(60)]  # diameter forces rounds
+    src = pa.array([a for a, _ in pairs], pa.int64())
+    dst = pa.array([b for _, b in pairs], pa.int64())
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
+    for mode in ("hash_min", "pointer_jumping"):
+        out = connected_components(
+            ds, mode=mode, num_buckets=4, max_iters=64,
+            local_threshold=0, broadcast_threshold=0).materialize()
+        assert out.num_blocks() <= 4, (mode, out.num_blocks())
+        assert sorted(
+            (r["node"], r["component"]) for r in out.take_all()
+        ) == [(i, 0) for i in range(61)]
+
+
 def test_deterministic(ray_session):
     rng = np.random.default_rng(7)
     pairs = [(int(a), int(b))
